@@ -1,0 +1,204 @@
+"""Configuration schema for layoutdit_tpu.
+
+Field-for-field parity with the reference pydantic tree
+(/root/reference/src/layoutdit/configuration/config_constructs.py:24-83 and
+model_config.py:6-13), extended with TPU-native knobs: mesh/sharding layout,
+bf16 precision policy, and the static shape budgets that make the two-stage
+detector jittable (padded GT boxes, fixed proposal counts).
+
+Deliberate divergences from the reference (SURVEY.md §7 "quirks"):
+  * ``local_mode`` is functional — it reroutes data paths to local sample
+    files instead of GCS (the reference parses but never reads it,
+    main.py:14-25).
+  * ``score_thresh`` is actually applied by the evaluator (the reference
+    stores but never uses it, evaluator.py:43).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+from pydantic import BaseModel, Field
+
+
+class BackboneType(str, enum.Enum):
+    """Backbone selector (reference: modeling/backbone_type.py:4-6)."""
+
+    DIT = "dit"
+    DIT_LARGE = "dit-large"
+    RESNET50 = "resnet50"
+
+
+def get_available_device() -> str:
+    """Best available JAX platform ('tpu' > 'gpu' > 'cpu').
+
+    TPU-native analogue of the reference's cuda→mps→cpu probe
+    (config_constructs.py:12-21). Lazy: does not initialise the backend
+    at config-construction time unless asked.
+    """
+    import jax
+
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        return "cpu"
+
+
+class DataLoaderConfig(BaseModel):
+    """Host input-pipeline settings (reference: config_constructs.py:24-27)."""
+
+    batch_size: int = 16
+    shuffle: bool = True
+    num_workers: int = 2
+    # TPU additions: number of device batches to keep in flight.
+    prefetch_depth: int = 2
+    # Per-image padded ground-truth budget (static shapes for jit).
+    max_gt_boxes: int = 128
+
+
+class MeshConfig(BaseModel):
+    """Device-mesh / sharding layout (new capability: the reference's
+    distributed-training TODO, README.md:59, realised as jit+shard_map DP)."""
+
+    # Axis sizes; -1 on the data axis means "all remaining devices".
+    data_parallel: int = -1
+    model_parallel: int = 1
+    axis_names: tuple[str, str] = ("data", "model")
+    # Initialise jax.distributed (multi-host) when world size > 1.
+    enable_distributed_init: bool = False
+
+
+class PrecisionConfig(BaseModel):
+    """bf16 mixed-precision policy (replaces the reference's fp16 AMP +
+    GradScaler, trainer.py:78-80 — bf16 on TPU needs no loss scaling)."""
+
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Softmax/statistics accumulate in fp32 regardless.
+
+
+class TrainingConfig(BaseModel):
+    """Reference: config_constructs.py:30-44 (same hyper-param defaults)."""
+
+    train_base_path: str = "gs://layoutdit/data"
+    train_input: str = "single"
+
+    device: str = Field(default_factory=get_available_device)
+    num_epochs: int = 25
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    step_size: int = 10
+    gamma: float = 0.1
+    checkpoint_interval: int = 10
+
+    enable_profile: bool = False
+    # Where jax.profiler traces are staged locally before GCS upload.
+    trace_log_dir: str = "./log/traces"
+
+    seed: int = 0
+    # Gradient clipping (0 disables); reference has none.
+    grad_clip_norm: float = 0.0
+
+
+class EvalConfig(BaseModel):
+    """Reference: config_constructs.py:47-59."""
+
+    eval_input: str = "samples"
+
+    device: str = Field(default_factory=get_available_device)
+    score_thresh: float = 0.0
+
+    eval_base_path: Optional[str] = "gs://layoutdit"
+
+    max_per_image: int = 10
+    visualize_dirpath_prefix: str = "visualizations"
+    num_images: Optional[int] = 20
+
+
+class DetectionBudget(BaseModel):
+    """Static-shape budgets for the jittable two-stage detector.
+
+    The reference relies on torchvision's dynamic shapes (variable proposal
+    and detection counts). On TPU everything under jit must be shape-static,
+    so each stage has an explicit padded budget with validity masks
+    (SURVEY.md §7 hard part #1). Values mirror torchvision FasterRCNN
+    defaults so detections match the reference numerically.
+    """
+
+    rpn_pre_nms_top_n_train: int = 2000
+    rpn_pre_nms_top_n_test: int = 1000
+    rpn_post_nms_top_n_train: int = 2000
+    rpn_post_nms_top_n_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_fg_iou_thresh: float = 0.7
+    rpn_bg_iou_thresh: float = 0.3
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_score_thresh: float = 0.0
+    rpn_min_size: float = 1e-3
+
+    box_fg_iou_thresh: float = 0.5
+    box_bg_iou_thresh: float = 0.5
+    box_batch_size_per_image: int = 512
+    box_positive_fraction: float = 0.25
+    box_reg_weights: tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    box_detections_per_img: int = 100
+
+
+class ModelConfig(BaseModel):
+    """Reference: configuration/model_config.py:6-13 (same defaults) plus
+    the TPU detection budgets and backbone details."""
+
+    backbone_type: BackboneType = BackboneType.DIT
+
+    num_classes: int = 5
+
+    anchor_sizes: list[tuple[int, ...]] = [(32,), (64,), (128,), (256,), (512,)]
+    aspect_ratios: list[tuple[float, ...]] = [(0.5, 1.0, 2.0)] * 5
+
+    # GeneralizedRCNNTransform parity (reference: model.py:50-54).
+    image_size: int = 224
+    image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
+
+    fpn_out_channels: int = 256
+    roi_output_size: int = 7
+    roi_sampling_ratio: int = 2
+
+    detection_budget: DetectionBudget = DetectionBudget()
+
+    # Attention implementation: "xla" (einsum) or "pallas" (flash kernel).
+    attention_impl: str = "xla"
+
+    # Optional warm-start checkpoint for the DiT encoder
+    # (reference: model.py:65-70 — loads only backbone weights).
+    previous_layout_dit_checkpoint: Optional[str] = None
+
+
+class LayoutDitConfig(BaseModel):
+    """Top-level config (reference: config_constructs.py:62-83)."""
+
+    train_config: TrainingConfig = TrainingConfig()
+    data_loader_config: DataLoaderConfig = DataLoaderConfig()
+    eval_config: EvalConfig = EvalConfig()
+    detection_model_config: ModelConfig = ModelConfig()
+
+    mesh_config: MeshConfig = MeshConfig()
+    precision: PrecisionConfig = PrecisionConfig()
+
+    run_name: str = "test"
+
+    # Functional here (unlike the reference): route data paths to local
+    # sample files instead of GCS.
+    local_mode: bool | None = None
+
+    def __init__(self, **data):
+        super().__init__(**data)
+        from layoutdit_tpu.log import get_logger
+
+        get_logger(__name__).debug(
+            "Initialized LayoutDitConfig with:\n%s", self.model_dump_json(indent=2)
+        )

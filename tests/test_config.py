@@ -1,0 +1,61 @@
+"""Config tree tests (reference surface: configuration/__init__.py:23-34,
+config_constructs.py:24-83)."""
+
+import json
+
+from layoutdit_tpu.config import (
+    BackboneType,
+    LayoutDitConfig,
+    get_layout_dit_config,
+    read_config_from_path,
+    set_layout_dit_config,
+)
+
+
+def test_defaults_match_reference():
+    cfg = LayoutDitConfig()
+    # reference config_constructs.py:30-44
+    assert cfg.train_config.num_epochs == 25
+    assert cfg.train_config.learning_rate == 1e-4
+    assert cfg.train_config.weight_decay == 0
+    assert cfg.train_config.step_size == 10
+    assert cfg.train_config.gamma == 0.1
+    assert cfg.train_config.checkpoint_interval == 10
+    assert cfg.train_config.train_base_path == "gs://layoutdit/data"
+    assert cfg.train_config.train_input == "single"
+    # reference config_constructs.py:24-27
+    assert cfg.data_loader_config.batch_size == 16
+    assert cfg.data_loader_config.shuffle is True
+    # reference config_constructs.py:47-59
+    assert cfg.eval_config.eval_input == "samples"
+    assert cfg.eval_config.score_thresh == 0.0
+    assert cfg.eval_config.max_per_image == 10
+    assert cfg.eval_config.num_images == 20
+    # reference model_config.py:6-13
+    m = cfg.detection_model_config
+    assert m.backbone_type == BackboneType.DIT
+    assert m.num_classes == 5
+    assert m.anchor_sizes == [(32,), (64,), (128,), (256,), (512,)]
+    assert m.aspect_ratios == [(0.5, 1.0, 2.0)] * 5
+    assert cfg.run_name == "test"
+
+
+def test_singleton_and_override(tmp_path, monkeypatch):
+    set_layout_dit_config(None)
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps({"run_name": "from_file"}))
+    monkeypatch.setenv("LAYOUTDIT_CONFIG", str(path))
+    cfg = get_layout_dit_config()
+    assert cfg.run_name == "from_file"
+    assert get_layout_dit_config() is cfg  # singleton
+    set_layout_dit_config(None)
+
+
+def test_read_config_missing_path(tmp_path):
+    assert read_config_from_path(str(tmp_path / "nope.json")) is None
+
+
+def test_config_json_roundtrip():
+    cfg = LayoutDitConfig(run_name="rt")
+    cfg2 = LayoutDitConfig(**json.loads(cfg.model_dump_json()))
+    assert cfg2 == cfg
