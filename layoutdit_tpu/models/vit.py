@@ -1,0 +1,279 @@
+"""DiT/BEiT ViT encoder, TPU-native.
+
+Reimplements the behavior the reference imports from HF transformers
+(``AutoModel.from_pretrained("microsoft/dit-base")`` with
+``output_hidden_states=True`` — /root/reference/src/layoutdit/modeling/
+dit_backbone.py:25-47) as pure functions over a parameter pytree:
+
+  * patchify is a reshape + one big matmul (exactly a stride-16 conv,
+    but stated in MXU-native form),
+  * attention is fused QK^T-softmax-V einsums with fp32 softmax
+    (optionally the Pallas flash-attention kernel, see ops/),
+  * BEiT specifics faithfully: pre-LN (eps 1e-12), K projection without
+    bias, layer-scale lambda_1/lambda_2, CLS token, absolute position
+    embeddings and/or (shared) relative position bias,
+  * ``hidden_states`` parity: index 0 is the embedding output, index i is
+    the output of layer i (pre final-LN), so the detection backbone can tap
+    layers [d/3, d/2, 2d/3, d] exactly like the reference.
+
+Everything is shape-static; precision policy: params fp32, matmul inputs
+cast to ``compute_dtype``, LayerNorm/softmax statistics in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    patch_size: int = 16
+    image_size: int = 224
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-12
+    # microsoft/dit-base: absolute position embeddings, layer scale 0.1,
+    # no relative position bias.
+    use_absolute_position_embeddings: bool = True
+    use_relative_position_bias: bool = False
+    use_shared_relative_position_bias: bool = False
+    layer_scale_init_value: float = 0.1
+    initializer_range: float = 0.02
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+# Presets mirroring the HF checkpoints the reference can load.
+DIT_BASE = ViTConfig()
+DIT_LARGE = ViTConfig(
+    hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+    intermediate_size=4096,
+)
+
+
+def _rel_pos_num_entries(cfg: ViTConfig) -> int:
+    g = cfg.grid_size
+    # (2g-1)^2 pairwise offsets + 3 special entries (cls<->token, cls<->cls)
+    return (2 * g - 1) ** 2 + 3
+
+
+def relative_position_index(grid: int) -> np.ndarray:
+    """BEiT relative_position_index for a (grid, grid) window + CLS.
+
+    Mirrors transformers BeitRelativePositionBias.generate_relative_position_index.
+    Returns [1+g^2, 1+g^2] int32 indices into the bias table.
+    """
+    num_rel = (2 * grid - 1) ** 2 + 3
+    coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij"))
+    coords = coords.reshape(2, -1)  # [2, g^2]
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, g^2, g^2]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += grid - 1
+    rel[:, :, 1] += grid - 1
+    rel[:, :, 0] *= 2 * grid - 1
+    n = grid * grid
+    index = np.zeros((n + 1, n + 1), dtype=np.int64)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, 0:] = num_rel - 3
+    index[0:, 0] = num_rel - 2
+    index[0, 0] = num_rel - 1
+    return index.astype(np.int32)
+
+
+def init_vit_params(key: jax.Array, cfg: ViTConfig) -> dict:
+    """Random init matching HF BeitModel (trunc-normal 0.02, zeros bias)."""
+    d, i = cfg.hidden_size, cfg.intermediate_size
+    patch_in = cfg.num_channels * cfg.patch_size * cfg.patch_size
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.num_hidden_layers))
+
+    def tn(k, shape):
+        return (
+            jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+            * cfg.initializer_range
+        )
+
+    params: dict = {
+        "cls_token": jnp.zeros((d,), jnp.float32),
+        "patch_embed": {
+            "kernel": tn(next(keys), (patch_in, d)),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+    }
+    if cfg.use_absolute_position_embeddings:
+        params["pos_embed"] = jnp.zeros((cfg.num_patches + 1, d), jnp.float32)
+    if cfg.use_shared_relative_position_bias:
+        params["shared_rel_pos_table"] = jnp.zeros(
+            (_rel_pos_num_entries(cfg), cfg.num_attention_heads), jnp.float32
+        )
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layer = {
+            "ln1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "ln2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "q": {"kernel": tn(next(keys), (d, d)), "bias": jnp.zeros((d,))},
+            "k": {"kernel": tn(next(keys), (d, d))},  # no bias in BEiT
+            "v": {"kernel": tn(next(keys), (d, d)), "bias": jnp.zeros((d,))},
+            "attn_out": {"kernel": tn(next(keys), (d, d)), "bias": jnp.zeros((d,))},
+            "mlp_in": {"kernel": tn(next(keys), (d, i)), "bias": jnp.zeros((i,))},
+            "mlp_out": {"kernel": tn(next(keys), (i, d)), "bias": jnp.zeros((d,))},
+        }
+        if cfg.layer_scale_init_value > 0:
+            layer["lambda_1"] = jnp.full((d,), cfg.layer_scale_init_value)
+            layer["lambda_2"] = jnp.full((d,), cfg.layer_scale_init_value)
+        if cfg.use_relative_position_bias:
+            layer["rel_pos_table"] = jnp.zeros(
+                (_rel_pos_num_entries(cfg), cfg.num_attention_heads), jnp.float32
+            )
+        layers.append(layer)
+    params["layers"] = layers
+    return params
+
+
+def _layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, C, H, W] -> [B, (H/p)*(W/p), C*p*p] with (c, kh, kw) flattening
+    to match torch Conv2d weight.reshape(out, -1) layout."""
+    b, c, h, w = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, gh, gw, C, p, p]
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def _attention(
+    x: jnp.ndarray,
+    layer: dict,
+    cfg: ViTConfig,
+    rel_bias: jnp.ndarray | None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    b, n, d = x.shape
+    h, hd = cfg.num_attention_heads, cfg.head_dim
+    q = _linear(x, layer["q"]).reshape(b, n, h, hd)
+    k = _linear(x, layer["k"]).reshape(b, n, h, hd)
+    v = _linear(x, layer["v"]).reshape(b, n, h, hd)
+
+    if impl == "pallas":
+        from layoutdit_tpu.ops.flash_attention import flash_attention
+
+        ctx = flash_attention(q, k, v, bias=rel_bias, scale=1.0 / np.sqrt(hd))
+    else:
+        scores = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        if rel_bias is not None:
+            scores = scores + rel_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bhnm,bmhd->bnhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    return _linear(ctx.reshape(b, n, d), layer["attn_out"])
+
+
+def _gather_rel_bias(table: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """bias [1, heads, N, N] from table [entries, heads] and index [N, N]."""
+    bias = table[index]  # [N, N, heads]
+    return bias.transpose(2, 0, 1)[None]
+
+
+def vit_forward(
+    params: dict,
+    pixels: jnp.ndarray,
+    cfg: ViTConfig,
+    taps: Sequence[int] = (),
+    compute_dtype: jnp.dtype = jnp.float32,
+    attention_impl: str = "xla",
+    remat: bool = False,
+) -> list[jnp.ndarray]:
+    """Run the encoder; return hidden states at ``taps`` (HF indexing:
+    0 = embedding output, i = output of layer i). Empty taps -> [final].
+
+    pixels: [B, C, H, W] float (already normalized). H, W must be multiples
+    of patch_size; position embeddings currently require H == W ==
+    cfg.image_size (the detection pipeline always feeds 224 x 224,
+    model.py:50-52).
+    """
+    taps = tuple(taps) or (cfg.num_hidden_layers,)
+    x = patchify(pixels, cfg.patch_size).astype(compute_dtype)
+    x = _linear(x, params["patch_embed"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (b, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    if "pos_embed" in params:
+        x = x + params["pos_embed"].astype(compute_dtype)
+
+    n = x.shape[1]
+    shared_bias = None
+    if "shared_rel_pos_table" in params:
+        idx = jnp.asarray(relative_position_index(cfg.grid_size))
+        assert idx.shape[0] == n, "rel-pos bias requires full-grid input"
+        shared_bias = _gather_rel_bias(params["shared_rel_pos_table"], idx)
+
+    outputs = []
+    if 0 in taps:
+        outputs.append(x)
+
+    def run_layer(x, layer):
+        bias = shared_bias
+        if "rel_pos_table" in layer:
+            idx = jnp.asarray(relative_position_index(cfg.grid_size))
+            own = _gather_rel_bias(layer["rel_pos_table"], idx)
+            bias = own if bias is None else own + bias
+        attn = _attention(
+            _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
+            layer, cfg, bias, attention_impl,
+        )
+        if "lambda_1" in layer:
+            attn = attn * layer["lambda_1"].astype(attn.dtype)
+        x = x + attn
+        y = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
+        y = _linear(y, layer["mlp_in"])
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+        y = _linear(y, layer["mlp_out"])
+        if "lambda_2" in layer:
+            y = y * layer["lambda_2"].astype(y.dtype)
+        return x + y
+
+    if remat:
+        run_layer = jax.checkpoint(run_layer)
+
+    for li, layer in enumerate(params["layers"], start=1):
+        x = run_layer(x, layer)
+        if li in taps:
+            outputs.append(x)
+    return outputs

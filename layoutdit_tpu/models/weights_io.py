@@ -1,0 +1,139 @@
+"""Import pretrained DiT/BEiT weights (HF torch checkpoints) into pytrees.
+
+The reference warm-starts its encoder from HF (``AutoModel.from_pretrained``
+dit_backbone.py:26-31) or from a GCS ``state_dict`` checkpoint loaded with
+``strict=False`` into only the DiT encoder (model.py:65-70). This module is
+the TPU equivalent: a one-time offline conversion of a BEiT ``state_dict``
+(torch .pth / .bin or safetensors) to the ``models.vit`` parameter pytree.
+
+Conversion is name-based and pure numpy — torch is only needed to
+deserialize ``.pth`` files.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.models.vit import ViTConfig
+
+logger = get_logger(__name__)
+
+# HF BeitModel parameter name templates (prefix-stripped).
+_EMB = "embeddings."
+_LAYER = "encoder.layer.{i}."
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / numpy array -> float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def beit_state_dict_to_params(
+    state_dict: Mapping[str, "np.ndarray"], cfg: ViTConfig
+) -> dict:
+    """Convert an HF BeitModel state_dict to a vit.py parameter pytree.
+
+    Accepts keys with or without a leading ``beit.`` / ``dit.`` / ``model.``
+    prefix; ignores pooler / final-layernorm / mask_token / lm-head weights
+    (they are not part of the backbone tap path).
+    """
+    sd: dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        for pre in ("beit.", "dit.", "model.", "backbone.backbone.dit."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    def take(name: str) -> np.ndarray:
+        return _np(sd[name])
+
+    d = cfg.hidden_size
+    patch_in = cfg.num_channels * cfg.patch_size * cfg.patch_size
+
+    conv_w = take(_EMB + "patch_embeddings.projection.weight")  # [D, C, p, p]
+    params: dict = {
+        "cls_token": jnp.asarray(take(_EMB + "cls_token").reshape(d)),
+        "patch_embed": {
+            # conv [D, C, p, p] -> matmul kernel [(C*p*p), D]; patchify()
+            # flattens patches in the same (c, kh, kw) order.
+            "kernel": jnp.asarray(conv_w.reshape(d, patch_in).T),
+            "bias": jnp.asarray(take(_EMB + "patch_embeddings.projection.bias")),
+        },
+    }
+    if _EMB + "position_embeddings" in sd:
+        params["pos_embed"] = jnp.asarray(
+            take(_EMB + "position_embeddings").reshape(-1, d)
+        )
+    shared = "encoder.relative_position_bias.relative_position_bias_table"
+    if shared in sd:
+        params["shared_rel_pos_table"] = jnp.asarray(take(shared))
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = _LAYER.format(i=i)
+        layer = {
+            "ln1": {
+                "scale": jnp.asarray(take(p + "layernorm_before.weight")),
+                "bias": jnp.asarray(take(p + "layernorm_before.bias")),
+            },
+            "ln2": {
+                "scale": jnp.asarray(take(p + "layernorm_after.weight")),
+                "bias": jnp.asarray(take(p + "layernorm_after.bias")),
+            },
+            # torch Linear weight is [out, in] -> transpose to [in, out]
+            "q": {
+                "kernel": jnp.asarray(take(p + "attention.attention.query.weight").T),
+                "bias": jnp.asarray(take(p + "attention.attention.query.bias")),
+            },
+            "k": {"kernel": jnp.asarray(take(p + "attention.attention.key.weight").T)},
+            "v": {
+                "kernel": jnp.asarray(take(p + "attention.attention.value.weight").T),
+                "bias": jnp.asarray(take(p + "attention.attention.value.bias")),
+            },
+            "attn_out": {
+                "kernel": jnp.asarray(take(p + "attention.output.dense.weight").T),
+                "bias": jnp.asarray(take(p + "attention.output.dense.bias")),
+            },
+            "mlp_in": {
+                "kernel": jnp.asarray(take(p + "intermediate.dense.weight").T),
+                "bias": jnp.asarray(take(p + "intermediate.dense.bias")),
+            },
+            "mlp_out": {
+                "kernel": jnp.asarray(take(p + "output.dense.weight").T),
+                "bias": jnp.asarray(take(p + "output.dense.bias")),
+            },
+        }
+        if p + "lambda_1" in sd:
+            layer["lambda_1"] = jnp.asarray(take(p + "lambda_1"))
+            layer["lambda_2"] = jnp.asarray(take(p + "lambda_2"))
+        rel = p + "attention.attention.relative_position_bias.relative_position_bias_table"
+        if rel in sd:
+            layer["rel_pos_table"] = jnp.asarray(take(rel))
+        layers.append(layer)
+    params["layers"] = layers
+    return params
+
+
+def load_beit_checkpoint(path: str, cfg: ViTConfig) -> dict:
+    """Load a torch/safetensors BEiT state_dict from (fsspec) ``path`` and
+    convert it. Reference-compatible with the GCS ``.pth`` checkpoints of
+    model.py:90-121."""
+    import fsspec
+
+    with fsspec.open(path, "rb") as f:
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load as st_load
+
+            sd = st_load(f.read())
+        else:
+            import torch
+
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+    logger.info("Loaded BEiT state_dict with %d entries from %s", len(sd), path)
+    return beit_state_dict_to_params(sd, cfg)
