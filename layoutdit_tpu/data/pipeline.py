@@ -1,0 +1,192 @@
+"""Streaming host-side input pipeline with device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=2,
+collate_fn)`` + gcsfuse stack (trainer.py:54-60, SURVEY.md §2.2): decode /
+resize / normalize happen on the host in worker threads while the TPU
+computes, and finished batches are shipped to the device ahead of time
+(double buffering) so the accelerator never waits on input.
+
+TPU-specific transformations happen here, not on-device:
+  * resize to the fixed ``image_size`` (the reference does this inside
+    GeneralizedRCNNTransform, model.py:50-54) using the SAME torch-parity
+    bilinear formula as the device ops — host/device resizes agree,
+  * gt boxes scaled into model space and padded to ``max_gt`` with a
+    validity mask (static shapes for jit),
+  * the final partial batch is padded with an ``image_valid`` mask
+    instead of producing a ragged shape that would trigger a recompile.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from layoutdit_tpu.data.dataset import PubLayNetDataset
+from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.ops.interpolate import resize_bilinear_np
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class DetectionBatch:
+    images: np.ndarray  # [B, 3, S, S] float32 in [0, 1]
+    gt_boxes: np.ndarray  # [B, G, 4] float32, model (S x S) space
+    gt_labels: np.ndarray  # [B, G] int32
+    gt_valid: np.ndarray  # [B, G] bool
+    image_ids: np.ndarray  # [B] int64
+    orig_sizes: np.ndarray  # [B, 2] float32 (height, width)
+    image_valid: np.ndarray  # [B] bool (False = batch padding)
+
+
+def prepare_example(
+    image: np.ndarray,  # [3, H, W] float in [0,1]
+    target: dict,
+    image_size: int,
+    max_gt: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Resize one example into model space and pad its targets."""
+    _, h, w = image.shape
+    resized = resize_bilinear_np(image, image_size, image_size).astype(np.float32)
+
+    boxes = np.asarray(target["boxes"], np.float32).reshape(-1, 4)
+    labels = np.asarray(target["labels"], np.int64)
+    n = min(len(boxes), max_gt)
+    if len(boxes) > max_gt:
+        logger.warning("Clipping %d gt boxes to max_gt=%d", len(boxes), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.zeros((max_gt,), np.int32)
+    out_valid = np.zeros((max_gt,), bool)
+    if n:
+        scale = np.array(
+            [image_size / w, image_size / h, image_size / w, image_size / h],
+            np.float32,
+        )
+        out_boxes[:n] = boxes[:n] * scale
+        out_labels[:n] = labels[:n]
+        out_valid[:n] = True
+    return resized, out_boxes, out_labels, out_valid, np.array([h, w], np.float32)
+
+
+class DetectionLoader:
+    """Iterable over DetectionBatch with threaded decode + device prefetch.
+
+    Equivalent role to the reference's DataLoader construction at
+    trainer.py:44-60 / evaluator.py:296-311.
+    """
+
+    def __init__(
+        self,
+        dataset: PubLayNetDataset,
+        batch_size: int = 16,
+        shuffle: bool = True,
+        num_workers: int = 2,
+        image_size: int = 224,
+        max_gt: int = 128,
+        seed: int = 0,
+        drop_last: bool = False,
+        device_put: bool = True,
+        prefetch_depth: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.image_size = image_size
+        self.max_gt = max_gt
+        self.seed = seed
+        self.drop_last = drop_last
+        self.device_put = device_put
+        self.prefetch_depth = prefetch_depth
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        return order
+
+    def _assemble(self, idxs: Sequence[int]) -> DetectionBatch:
+        b = self.batch_size
+        s = self.image_size
+        images = np.zeros((b, 3, s, s), np.float32)
+        gt_boxes = np.zeros((b, self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((b, self.max_gt), np.int32)
+        gt_valid = np.zeros((b, self.max_gt), bool)
+        image_ids = np.zeros((b,), np.int64)
+        orig_sizes = np.ones((b, 2), np.float32)
+        image_valid = np.zeros((b,), bool)
+        for slot, idx in enumerate(idxs):
+            image, target = self.dataset[int(idx)]
+            img, boxes, labels, valid, orig = prepare_example(
+                image, target, s, self.max_gt
+            )
+            images[slot] = img
+            gt_boxes[slot] = boxes
+            gt_labels[slot] = labels
+            gt_valid[slot] = valid
+            image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
+            orig_sizes[slot] = orig
+            image_valid[slot] = True
+        return DetectionBatch(
+            images, gt_boxes, gt_labels, gt_valid, image_ids, orig_sizes,
+            image_valid,
+        )
+
+    def _batches_of_indices(self) -> Iterator[np.ndarray]:
+        order = self._epoch_order()
+        n_full = len(order) // self.batch_size
+        for i in range(n_full):
+            yield order[i * self.batch_size:(i + 1) * self.batch_size]
+        rem = len(order) % self.batch_size
+        if rem and not self.drop_last:
+            yield order[n_full * self.batch_size:]
+
+    def __iter__(self) -> Iterator[DetectionBatch]:
+        """Producer thread assembles batches; consumer gets device-resident
+        arrays (double-buffered via the bounded queue)."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in self._batches_of_indices():
+                    if stop.is_set():
+                        return
+                    batch = self._assemble(idxs)
+                    if self.device_put:
+                        import jax
+
+                        batch = DetectionBatch(
+                            *(jax.device_put(getattr(batch, f.name))
+                              for f in batch.__dataclass_fields__.values())
+                        )
+                    q.put(batch)
+            except Exception as e:  # surface worker failures to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+        self._epoch += 1

@@ -1,0 +1,260 @@
+"""LayoutDetectionModel, TPU-native: DiT/BEiT backbone + FPN + Faster R-CNN.
+
+Functional parity with the reference's assembly (model.py:20-88):
+``GeneralizedRCNNTransform(224, mean/std 0.5)`` -> DiTWithFPN -> RPN ->
+MultiScaleRoIAlign(7, sampling_ratio 2) over [p2, p3, p4, p5, pool] ->
+TwoMLPHead -> FastRCNNPredictor, with the four torchvision losses during
+training and padded top-100 detections at inference.
+
+The public surface is two pure functions over one parameter pytree:
+  * ``detector_loss(params, rng, images, gt) -> loss dict``  (jit/grad-able)
+  * ``detector_predict(params, images) -> Detections``       (jit-able)
+Images arrive as [B, 3, 224, 224] float32 in [0, 1] (host pipeline already
+resized); normalization happens on-device. Boxes live in 224x224 space;
+rescaling back to original image sizes is ``rescale_detections``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdit_tpu.config.constructs import DetectionBudget, ModelConfig
+from layoutdit_tpu.models import vit as vit_mod
+from layoutdit_tpu.models.backbone import (
+    BackboneConfig,
+    backbone_forward,
+    init_backbone_params,
+)
+from layoutdit_tpu.models.detection import rpn as rpn_mod
+from layoutdit_tpu.models.detection.anchors import grid_anchors
+from layoutdit_tpu.models.detection.heads import (
+    box_head_forward,
+    init_box_head_params,
+    init_predictor_params,
+    init_rpn_head_params,
+    predictor_forward,
+    rpn_head_forward,
+)
+from layoutdit_tpu.models.detection.roi_heads import (
+    Detections,
+    fastrcnn_loss,
+    postprocess_detections_single,
+    select_training_samples_single,
+)
+from layoutdit_tpu.ops.roi_align import multiscale_roi_align
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static (hashable) model description derived from the pydantic
+    ModelConfig — this is what jit closes over."""
+
+    backbone: BackboneConfig = BackboneConfig()
+    num_classes: int = 5
+    image_size: int = 224
+    image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    anchor_sizes: tuple[tuple[float, ...], ...] = ((32,), (64,), (128,), (256,), (512,))
+    aspect_ratios: tuple[tuple[float, ...], ...] = ((0.5, 1.0, 2.0),) * 5
+    roi_output_size: int = 7
+    roi_sampling_ratio: int = 2
+    budget: DetectionBudget = dataclasses.field(default_factory=DetectionBudget)
+    compute_dtype: str = "float32"
+    attention_impl: str = "xla"
+    remat: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "budget", _freeze_budget(self.budget))
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.anchor_sizes[0]) * len(self.aspect_ratios[0])
+
+    @property
+    def grid_sizes(self) -> tuple[tuple[int, int], ...]:
+        g = self.image_size // self.backbone.vit.patch_size
+        sizes = [int(g * s) for s in self.backbone.scales]
+        sizes.append((sizes[-1] + 1) // 2)  # pool level: ceil(p5/2)
+        return tuple((s, s) for s in sizes)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @classmethod
+    def from_model_config(cls, mc: ModelConfig, precision_dtype: str = "float32"):
+        from layoutdit_tpu.config.constructs import BackboneType
+
+        vit_cfg = (
+            vit_mod.DIT_LARGE
+            if mc.backbone_type == BackboneType.DIT_LARGE
+            else vit_mod.DIT_BASE
+        )
+        return cls(
+            backbone=BackboneConfig(vit=vit_cfg, fpn_out_channels=mc.fpn_out_channels),
+            num_classes=mc.num_classes,
+            image_size=mc.image_size,
+            image_mean=tuple(mc.image_mean),
+            image_std=tuple(mc.image_std),
+            anchor_sizes=tuple(tuple(float(x) for x in s) for s in mc.anchor_sizes),
+            aspect_ratios=tuple(tuple(float(x) for x in r) for r in mc.aspect_ratios),
+            roi_output_size=mc.roi_output_size,
+            roi_sampling_ratio=mc.roi_sampling_ratio,
+            budget=mc.detection_budget,
+            compute_dtype=precision_dtype,
+            attention_impl=mc.attention_impl,
+        )
+
+
+class _FrozenBudget(DetectionBudget):
+    """Hashable DetectionBudget so DetectorConfig works as a jit static."""
+
+    model_config = {"frozen": True}
+
+
+def _freeze_budget(b: DetectionBudget) -> "_FrozenBudget":
+    return _FrozenBudget(**b.model_dump()) if not isinstance(b, _FrozenBudget) else b
+
+
+def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
+    k_bb, k_rpn, k_head, k_pred = jax.random.split(key, 4)
+    rep = 1024
+    in_features = cfg.backbone.fpn_out_channels * cfg.roi_output_size**2
+    return {
+        "backbone": init_backbone_params(k_bb, cfg.backbone),
+        "rpn_head": init_rpn_head_params(
+            k_rpn, cfg.backbone.fpn_out_channels, cfg.num_anchors_per_cell
+        ),
+        "box_head": init_box_head_params(k_head, in_features, rep),
+        "box_predictor": init_predictor_params(k_pred, rep, cfg.num_classes + 1),
+    }
+
+
+def _normalize(images: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
+    mean = jnp.asarray(cfg.image_mean, jnp.float32)[None, :, None, None]
+    std = jnp.asarray(cfg.image_std, jnp.float32)[None, :, None, None]
+    return (images - mean) / std
+
+
+def _anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    a, counts = grid_anchors(
+        (cfg.image_size, cfg.image_size),
+        cfg.grid_sizes,
+        cfg.anchor_sizes,
+        cfg.aspect_ratios,
+    )
+    return jnp.asarray(a), counts
+
+
+def _run_trunk(params, images, cfg: DetectorConfig):
+    x = _normalize(images, cfg).astype(cfg.dtype)
+    feats = backbone_forward(
+        params["backbone"], x, cfg.backbone,
+        compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
+        remat=cfg.remat,
+    )
+    objectness, deltas = rpn_head_forward(
+        params["rpn_head"], feats, cfg.num_anchors_per_cell
+    )
+    return feats, objectness, deltas
+
+
+def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
+    """RoIs [B, K, 4] -> (class_logits [B, K, NC+1], box_deltas)."""
+    scales = cfg.backbone.spatial_scales
+
+    def single(feats_i, rois_i, valid_i):
+        pooled = multiscale_roi_align(
+            list(feats_i), rois_i, list(scales),
+            output_size=cfg.roi_output_size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            canonical_scale=float(cfg.image_size),
+            roi_mask=valid_i,
+        )
+        rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
+        return predictor_forward(params["box_predictor"], rep)
+
+    return jax.vmap(single)(tuple(feats), rois, roi_valid)
+
+
+def detector_loss(
+    params: dict,
+    rng: jax.Array,
+    images: jnp.ndarray,  # [B, 3, S, S] in [0,1]
+    gt_boxes: jnp.ndarray,  # [B, G, 4] xyxy in S-space
+    gt_labels: jnp.ndarray,  # [B, G] int 1..NC
+    gt_valid: jnp.ndarray,  # [B, G] bool
+    cfg: DetectorConfig,
+) -> dict[str, jnp.ndarray]:
+    """Training forward -> the reference's four-loss dict
+    (trainer.py:111-117 consumes the same keys)."""
+    anchors, counts = _anchors(cfg)
+    feats, objectness, deltas = _run_trunk(params, images, cfg)
+
+    k_rpn, k_roi = jax.random.split(rng)
+    loss_obj, loss_rpn_box = rpn_mod.rpn_loss(
+        objectness, deltas, anchors, gt_boxes, gt_valid, cfg.budget, k_rpn
+    )
+
+    props = rpn_mod.filter_proposals(
+        objectness, deltas, anchors, counts,
+        (cfg.image_size, cfg.image_size), cfg.budget, training=True,
+    )
+
+    b = images.shape[0]
+    roi_keys = jax.random.split(k_roi, b)
+    samples = jax.vmap(
+        lambda p, v, gb, gl, gv, k: select_training_samples_single(
+            p, v, gb, gl, gv, cfg.budget, k
+        )
+    )(props.boxes, props.valid, gt_boxes, gt_labels, gt_valid, roi_keys)
+
+    class_logits, box_regression = _pool_and_predict(
+        params, feats, samples.rois, samples.valid, cfg
+    )
+    loss_cls, loss_box = fastrcnn_loss(class_logits, box_regression, samples)
+
+    return {
+        "loss_objectness": loss_obj,
+        "loss_rpn_box_reg": loss_rpn_box,
+        "loss_classifier": loss_cls,
+        "loss_box_reg": loss_box,
+    }
+
+
+def detector_predict(
+    params: dict,
+    images: jnp.ndarray,  # [B, 3, S, S] in [0,1]
+    cfg: DetectorConfig,
+) -> Detections:
+    """Inference -> padded per-image detections (boxes in S-space)."""
+    anchors, counts = _anchors(cfg)
+    feats, objectness, deltas = _run_trunk(params, images, cfg)
+    props = rpn_mod.filter_proposals(
+        objectness, deltas, anchors, counts,
+        (cfg.image_size, cfg.image_size), cfg.budget, training=False,
+    )
+    class_logits, box_regression = _pool_and_predict(
+        params, feats, props.boxes, props.valid, cfg
+    )
+    return jax.vmap(
+        lambda cl, br, p, v: postprocess_detections_single(
+            cl, br, p, v, (cfg.image_size, cfg.image_size), cfg.budget
+        )
+    )(class_logits, box_regression, props.boxes, props.valid)
+
+
+def rescale_detections(dets: Detections, orig_sizes: jnp.ndarray, image_size: int):
+    """Map boxes from model space back to original image space
+    (torchvision GeneralizedRCNNTransform.postprocess box rescale).
+
+    orig_sizes: [B, 2] (height, width).
+    """
+    ratio_h = orig_sizes[:, 0:1] / image_size
+    ratio_w = orig_sizes[:, 1:2] / image_size
+    scale = jnp.stack([ratio_w, ratio_h, ratio_w, ratio_h], axis=-1)  # [B,1,4]
+    return dets._replace(boxes=dets.boxes * scale)

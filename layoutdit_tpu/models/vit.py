@@ -244,9 +244,11 @@ def vit_forward(
         assert idx.shape[0] == n, "rel-pos bias requires full-grid input"
         shared_bias = _gather_rel_bias(params["shared_rel_pos_table"], idx)
 
-    outputs = []
+    # collect by layer index, then emit in tap order (taps may repeat for
+    # very shallow test configs)
+    collected: dict[int, jnp.ndarray] = {}
     if 0 in taps:
-        outputs.append(x)
+        collected[0] = x
 
     def run_layer(x, layer):
         bias = shared_bias
@@ -275,5 +277,5 @@ def vit_forward(
     for li, layer in enumerate(params["layers"], start=1):
         x = run_layer(x, layer)
         if li in taps:
-            outputs.append(x)
-    return outputs
+            collected[li] = x
+    return [collected[t] for t in taps]

@@ -51,11 +51,13 @@ def nms_mask(
     boxes_s = boxes[order]
     valid_s = jnp.isfinite(scores[order])
 
-    iou = box_iou(boxes_s, boxes_s)
     positions = jnp.arange(n)
 
     def step(keep, inputs):
-        i, iou_row, valid_i = inputs
+        i, box_i, valid_i = inputs
+        # IoU of this box vs all (computed on the fly: O(N) memory total,
+        # the full N x N matrix would blow HBM at RPN candidate counts)
+        iou_row = box_iou(box_i[None], boxes_s)[0]
         # suppressed if any earlier kept box overlaps > threshold
         earlier_kept = keep & (positions < i)
         suppressed = jnp.any(earlier_kept & (iou_row > iou_threshold))
@@ -66,7 +68,7 @@ def nms_mask(
     keep_sorted, _ = jax.lax.scan(
         step,
         jnp.zeros((n,), dtype=bool),
-        (positions, iou, valid_s),
+        (positions, boxes_s, valid_s),
     )
     # scatter back to original order
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)

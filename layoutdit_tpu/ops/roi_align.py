@@ -21,6 +21,7 @@ offset, ``max(roi_size, 1)`` floor, out-of-range samples contribute 0).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from layoutdit_tpu.ops.boxes import box_area
@@ -95,12 +96,27 @@ def roi_align(
         wy = wy * roi_mask[:, None, None].astype(dtype)
 
     feat = feature.astype(dtype)
-    # [K, p*g, H] x [C, H, W] -> [K, C, p*g, W]  (one big matmul)
-    t = jnp.einsum("kyh,chw->kcyw", wy, feat, preferred_element_type=jnp.float32)
-    # [K, C, p*g, W] x [K, p*g, W] -> [K, C, p*g, p*g]  (batched matmul)
-    s = jnp.einsum("kcyw,kxw->kcyx", t, wx, preferred_element_type=jnp.float32)
-    # average the g x g samples per bin
-    s = s.reshape(k, feat.shape[0], p, g, p, g)
+    c = feat.shape[0]
+    s_dim = p * g
+    # Step 1 — one big MXU matmul: [K*S, H] @ [H, C*W] -> [K, S, C, W]
+    t = jax.lax.dot_general(
+        wy.reshape(k * s_dim, h),
+        feat.transpose(1, 0, 2).reshape(h, c * w),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(k, s_dim, c, w)
+    # Step 2 — batched GEMM over K: [K, S*C, W] x [K, S(W-contract)] ->
+    # [K, S, C, S]. Explicit dot_general so XLA emits a batched matmul
+    # (einsum here lowered to a broadcast-multiply-reduce and was ~1000x
+    # slower on TPU).
+    s = jax.lax.dot_general(
+        t.reshape(k, s_dim * c, w),
+        wx,  # [K, S, W]
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(k, s_dim, c, s_dim)
+    # -> [K, C, S, S], then average the g x g samples per bin
+    s = s.transpose(0, 2, 1, 3).reshape(k, c, p, g, p, g)
     return s.mean(axis=(3, 5))
 
 

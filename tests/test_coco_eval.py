@@ -1,0 +1,119 @@
+"""Tests for the numpy COCOeval reimplementation against hand-computed
+cases (pycocotools is unavailable in this environment)."""
+
+import numpy as np
+
+from layoutdit_tpu.eval.coco_eval import COCO_KEYS, CocoEvaluator, _iou_xywh
+
+
+def _gt(image_id, cat, bbox, ann_id, iscrowd=0):
+    return {"id": ann_id, "image_id": image_id, "category_id": cat,
+            "bbox": bbox, "area": bbox[2] * bbox[3], "iscrowd": iscrowd}
+
+
+def _coco(annotations, n_images=2, cats=(1, 2)):
+    return {
+        "images": [{"id": i + 1, "width": 224, "height": 224}
+                   for i in range(n_images)],
+        "annotations": annotations,
+        "categories": [{"id": c, "name": str(c)} for c in cats],
+    }
+
+
+def test_iou_xywh():
+    dt = np.array([[0, 0, 10, 10]], float)
+    gt = np.array([[0, 0, 10, 10], [5, 5, 10, 10]], float)
+    iou = _iou_xywh(dt, gt, np.zeros(2))
+    np.testing.assert_allclose(iou[0], [1.0, 25.0 / 175.0])
+
+
+def test_perfect_predictions_give_ap_1():
+    anns = [_gt(1, 1, [10, 10, 50, 60], 1), _gt(1, 2, [100, 100, 40, 40], 2),
+            _gt(2, 1, [20, 30, 80, 50], 3)]
+    ev = CocoEvaluator(_coco(anns))
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [100, 100, 40, 40], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [20, 30, 80, 50], "score": 0.95},
+    ]
+    m = ev.evaluate(preds)
+    assert set(m) == set(COCO_KEYS)
+    assert m["mAP"] == 1.0
+    assert m["AP50"] == 1.0
+    assert m["AR100"] == 1.0
+
+
+def test_no_predictions_gives_zero():
+    anns = [_gt(1, 1, [10, 10, 50, 60], 1)]
+    m = CocoEvaluator(_coco(anns)).evaluate([])
+    assert m["mAP"] == 0.0
+    assert m["AR100"] == 0.0
+
+
+def test_half_iou_counts_only_at_loose_thresholds():
+    # pred IoU with gt = 0.5: counts for t=0.5 but not t>0.5
+    anns = [_gt(1, 1, [0, 0, 10, 20], 1)]
+    preds = [{"image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10],
+              "score": 0.9}]  # IoU = 100/200 = 0.5
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    assert m["AP50"] == 1.0
+    assert m["AP75"] == 0.0
+    assert abs(m["mAP"] - 0.1) < 1e-6  # 1 of 10 thresholds
+
+
+def test_false_positive_lowers_precision():
+    anns = [_gt(1, 1, [10, 10, 50, 60], 1)]
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.8},
+        {"image_id": 1, "category_id": 1, "bbox": [150, 150, 50, 60], "score": 0.9},
+    ]
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    # FP ranked above the TP: interpolated precision = 0.5 at every recall
+    assert abs(m["AP50"] - 0.5) < 1e-6
+    assert m["AR100"] == 1.0
+
+
+def test_duplicate_detection_is_fp():
+    anns = [_gt(1, 1, [10, 10, 50, 60], 1)]
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.8},
+    ]
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    assert m["AP50"] == 1.0  # dup ranked after the TP doesn't hurt AP
+
+
+def test_area_ranges():
+    # small gt (20x20=400 < 1024), large gt (100x100)
+    anns = [_gt(1, 1, [0, 0, 20, 20], 1), _gt(1, 1, [50, 50, 100, 100], 2)]
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [50, 50, 100, 100], "score": 0.8},
+    ]
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    assert m["AP_s"] == 1.0
+    assert m["AP_l"] == 1.0
+    assert m["AP_m"] == -1.0  # no medium gt -> undefined
+
+
+def test_ar1_caps_detections():
+    anns = [_gt(1, 1, [0, 0, 20, 20], 1), _gt(1, 1, [100, 100, 20, 20], 2)]
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [100, 100, 20, 20], "score": 0.8},
+    ]
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    assert abs(m["AR1"] - 0.5) < 1e-6  # only 1 det allowed -> recall 0.5
+    assert m["AR10"] == 1.0
+
+
+def test_crowd_gt_ignored():
+    anns = [_gt(1, 1, [0, 0, 50, 50], 1, iscrowd=1),
+            _gt(1, 1, [100, 100, 50, 50], 2)]
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 50, 50], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [100, 100, 50, 50], "score": 0.8},
+    ]
+    m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
+    # crowd match is ignored (neither TP nor FP); real gt matched -> AP 1
+    assert m["AP50"] == 1.0

@@ -1,0 +1,126 @@
+"""Dataset + input-pipeline tests.
+
+Covers the reference's test surface (tests/test_dataset.py:17-21, :94-103 —
+dataset init + collate) and far beyond: getitem semantics, degenerate-box
+filtering, batching/padding, partial-batch masking, determinism.
+"""
+
+import numpy as np
+import pytest
+
+from layoutdit_tpu.data.dataset import PubLayNetDataset, collate_fn
+from layoutdit_tpu.data.pipeline import DetectionLoader, prepare_example
+from layoutdit_tpu.tools.make_fixture import make_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("publay")
+    make_fixture(str(root), n_images=10, split="samples", seed=0)
+    return PubLayNetDataset(
+        images_root_dir=str(root / "samples"),
+        annotations_json_path=str(root / "samples.json"),
+    )
+
+
+def test_dataset_initialization(fixture_dataset):
+    ds = fixture_dataset
+    assert len(ds) == 10
+    assert hasattr(ds, "image_info")
+    assert hasattr(ds, "annotations")
+    assert hasattr(ds, "cat_id_to_label")
+    assert hasattr(ds, "coco_data")  # evaluator seam (reference :25)
+    assert ds.cat_id_to_label == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_dataset_getitem(fixture_dataset):
+    image, target = fixture_dataset[0]
+    assert image.shape == (3, 224, 224)
+    assert image.dtype == np.float32
+    assert 0.0 <= image.min() and image.max() <= 1.0
+    boxes = target["boxes"]
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert (boxes[:, 2] > boxes[:, 0]).all() and (boxes[:, 3] > boxes[:, 1]).all()
+    assert target["labels"].shape == (len(boxes),)
+    assert target["image_id"].ravel()[0] == fixture_dataset.ids[0]
+
+
+def test_degenerate_boxes_dropped(tmp_path):
+    import json
+    from PIL import Image
+
+    (tmp_path / "s").mkdir()
+    Image.new("RGB", (32, 32)).save(tmp_path / "s" / "a.jpg")
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 32, "height": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [1, 1, 10, 10]},
+            {"id": 2, "image_id": 1, "category_id": 2, "bbox": [5, 5, 0, 10]},
+        ],
+        "categories": [{"id": 1, "name": "text"}, {"id": 2, "name": "title"}],
+    }
+    (tmp_path / "s.json").write_text(json.dumps(coco))
+    ds = PubLayNetDataset(str(tmp_path / "s"), str(tmp_path / "s.json"))
+    _, target = ds[0]
+    assert len(target["boxes"]) == 1  # zero-width box dropped (reference :69-71)
+
+
+def test_collate_fn():
+    batch = [(np.zeros((3, 8, 8)), {"boxes": np.zeros((2, 4))}),
+             (np.ones((3, 8, 8)), {"boxes": np.zeros((1, 4))})]
+    images, targets = collate_fn(batch)
+    assert len(images) == 2 and len(targets) == 2
+
+
+def test_prepare_example_scales_boxes():
+    image = np.zeros((3, 100, 200), np.float32)
+    target = {"boxes": np.array([[20.0, 10.0, 100.0, 60.0]]),
+              "labels": np.array([3]), "image_id": np.array([7])}
+    img, boxes, labels, valid, orig = prepare_example(image, target, 224, 8)
+    assert img.shape == (3, 224, 224)
+    np.testing.assert_allclose(
+        boxes[0], [20 * 224 / 200, 10 * 224 / 100, 100 * 224 / 200, 60 * 224 / 100]
+    )
+    assert labels[0] == 3 and valid[0] and not valid[1:].any()
+    np.testing.assert_array_equal(orig, [100, 200])
+
+
+def test_loader_batching_and_partial_batch(fixture_dataset):
+    loader = DetectionLoader(
+        fixture_dataset, batch_size=4, shuffle=False, image_size=224,
+        max_gt=64, device_put=False,
+    )
+    batches = list(loader)
+    assert len(batches) == 3  # 10 imgs -> 4+4+2
+    assert batches[0].images.shape == (4, 3, 224, 224)
+    assert batches[0].image_valid.all()
+    assert batches[2].image_valid.tolist() == [True, True, False, False]
+    assert batches[0].gt_valid.any()
+    # all valid boxes inside model space
+    gb = batches[0].gt_boxes[batches[0].gt_valid]
+    assert gb.min() >= 0 and gb.max() <= 224
+
+
+def test_loader_drop_last_and_shuffle_determinism(fixture_dataset):
+    loader = DetectionLoader(
+        fixture_dataset, batch_size=4, shuffle=True, seed=7,
+        drop_last=True, device_put=False,
+    )
+    ids_epoch0 = [b.image_ids.tolist() for b in loader]
+    assert len(ids_epoch0) == 2
+    loader2 = DetectionLoader(
+        fixture_dataset, batch_size=4, shuffle=True, seed=7,
+        drop_last=True, device_put=False,
+    )
+    assert [b.image_ids.tolist() for b in loader2] == ids_epoch0
+    # next epoch reshuffles
+    ids_epoch1 = [b.image_ids.tolist() for b in loader2]
+    assert ids_epoch1 != ids_epoch0
+
+
+def test_loader_propagates_worker_errors(fixture_dataset):
+    loader = DetectionLoader(fixture_dataset, batch_size=4, device_put=False)
+    loader.dataset = PubLayNetDataset.__new__(PubLayNetDataset)  # broken dataset
+    loader.dataset.ids = [1, 2, 3, 4]
+    with pytest.raises(Exception):
+        list(loader)
