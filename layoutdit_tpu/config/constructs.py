@@ -173,6 +173,11 @@ class ModelConfig(BaseModel):
     # Attention implementation: "xla" (einsum) or "pallas" (flash kernel).
     attention_impl: str = "xla"
 
+    # Optional ViT architecture overrides (hidden_size, num_hidden_layers,
+    # ...) applied on top of the backbone preset — used for scaled-down
+    # e2e tests and custom model families.
+    vit_overrides: Optional[dict] = None
+
     # Optional warm-start checkpoint for the DiT encoder
     # (reference: model.py:65-70 — loads only backbone weights).
     previous_layout_dit_checkpoint: Optional[str] = None

@@ -1,0 +1,234 @@
+"""Evaluator: jitted batch inference, COCO metrics, visualizations.
+
+Parity with /root/reference/src/layoutdit/evaluation/evaluator.py:22-311:
+  * eval dataloader over the configured eval split (:296-311 — but routed
+    through config instead of the reference's hard-coded
+    ``gs://layoutdit/data``, SURVEY.md §7 quirks),
+  * in-memory COCO GT from the dataset's cached ``coco_data`` (:51-62),
+  * ``score()``: no-grad inference -> COCO predictions JSON -> 12-metric
+    dict (:219-286). The configured ``score_thresh`` IS applied (the
+    reference stores but never uses it, :43),
+  * ``visualize_preds()`` / ``visualize_gt()``: top-k red prediction /
+    green GT box overlays saved as JPEGs (:64-217).
+
+TPU specifics: inference is one jit-compiled ``detector_predict`` over
+fixed-shape batches; padded images are masked out via ``image_valid``;
+boxes are rescaled to original image coordinates on device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdit_tpu.config.constructs import LayoutDitConfig
+from layoutdit_tpu.data.dataset import PubLayNetDataset
+from layoutdit_tpu.data.pipeline import DetectionLoader
+from layoutdit_tpu.eval.coco_eval import CocoEvaluator
+from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.models.detection.detector import (
+    detector_predict,
+    rescale_detections,
+)
+from layoutdit_tpu.models.model import LayoutDetectionModel
+
+logger = get_logger(__name__)
+
+
+class Evaluator:
+    def __init__(self, model: LayoutDetectionModel, layout_dit_config: LayoutDitConfig):
+        import fsspec
+
+        self.fs_open: Callable = fsspec.open
+        self.config = layout_dit_config
+        self.eval_config = layout_dit_config.eval_config
+        self.model = model
+
+        self.dataloader = self._build_eval_dataloader()
+        ds = self.dataloader.dataset
+        self.coco_data = ds.coco_data
+        self.coco_eval = CocoEvaluator(self.coco_data)
+        self.id2cat_map = {
+            cat["id"]: cat.get("name", str(cat["id"]))
+            for cat in self.coco_data["categories"]
+        }
+        self.score_thresh = self.eval_config.score_thresh
+
+        base = self.eval_config.eval_base_path or "."
+        run = layout_dit_config.run_name
+        prefix = self.eval_config.visualize_dirpath_prefix
+        self.predictions_path = f"{base}/{run}/predictions.json"
+        self.visualization_preds_path = f"{base}/{run}/{prefix}_preds/"
+        self.visualization_gt_path = f"{base}/{run}/{prefix}_gt/"
+
+        cfg = model.cfg
+        self._predict = jax.jit(
+            lambda p, imgs, sizes: rescale_detections(
+                detector_predict(p, imgs, cfg), sizes, cfg.image_size
+            )
+        )
+        logger.debug("Successfully initialized evaluator")
+
+    def _build_eval_dataloader(self) -> DetectionLoader:
+        dl_cfg = self.config.data_loader_config
+        base = self.config.train_config.train_base_path
+        segment = self.eval_config.eval_input
+        dataset = PubLayNetDataset(
+            images_root_dir=f"{base}/{segment}/",
+            annotations_json_path=f"{base}/{segment}.json",
+        )
+        return DetectionLoader(
+            dataset,
+            batch_size=dl_cfg.batch_size,
+            shuffle=False,  # deterministic eval order
+            num_workers=dl_cfg.num_workers,
+            image_size=self.config.detection_model_config.image_size,
+            max_gt=dl_cfg.max_gt_boxes,
+            drop_last=False,
+            device_put=False,
+        )
+
+    # ------------------------------------------------------------- score
+
+    def score(self) -> Optional[dict]:
+        """Inference over the eval split -> COCO 12-metric dict
+        (reference :219-286)."""
+        all_predictions: list[dict] = []
+        for batch in self.dataloader:
+            dets = self._predict(self.model.params, batch.images, batch.orig_sizes)
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            labels = np.asarray(dets.labels)
+            valid = np.asarray(dets.valid) & (scores >= self.score_thresh)
+            if self.score_thresh > 0:
+                valid &= scores > 0
+            for i in range(len(batch.image_ids)):
+                if not batch.image_valid[i]:
+                    continue
+                img_id = int(batch.image_ids[i])
+                for b, s, c, v in zip(boxes[i], scores[i], labels[i], valid[i]):
+                    if not v:
+                        continue
+                    x1, y1, x2, y2 = (float(x) for x in b)
+                    all_predictions.append({
+                        "image_id": img_id,
+                        "category_id": int(c),
+                        "bbox": [x1, y1, x2 - x1, y2 - y1],
+                        "score": float(s),
+                    })
+
+        if not all_predictions:
+            logger.warning("No predictions were generated.")
+            return None
+
+        self._save_predictions_json(all_predictions)
+        metrics = self.coco_eval.evaluate(all_predictions)
+        logger.info(
+            "COCO metrics: %s",
+            " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+        )
+        return metrics
+
+    def _save_predictions_json(self, all_predictions):
+        with self.fs_open(self.predictions_path, "w", auto_mkdir=True) as f:
+            json.dump(all_predictions, f)
+        logger.info(
+            "Saved %d predictions to %s", len(all_predictions), self.predictions_path
+        )
+
+    # ---------------------------------------------------------- visualize
+
+    def _load_pil(self, file_name):
+        from PIL import Image
+
+        full_path = os.path.join(self.dataloader.dataset.images_root_dir, file_name)
+        with self.fs_open(full_path, "rb") as f:
+            return Image.open(f).convert("RGB")
+
+    def _draw_boxes(self, img, entries, color):
+        """entries: [(bbox xywh, label_text)]; draws reference-style box +
+        label banner (:116-141)."""
+        from PIL import ImageDraw, ImageFont
+
+        draw = ImageDraw.Draw(img)
+        try:
+            font = ImageFont.truetype("arial.ttf", size=16)
+        except IOError:
+            font = ImageFont.load_default()
+        w_img, h_img = img.size
+        for (x, y, w, h), label in entries:
+            x0 = max(0, min(x, w_img)); y0 = max(0, min(y, h_img))
+            x1 = max(0, min(x + w, w_img)); y1 = max(0, min(y + h, h_img))
+            draw.rectangle([x0, y0, x1, y1], outline=color, width=2)
+            left, top, right, bottom = draw.textbbox((x0, y0), label, font=font)
+            tw, th = right - left, bottom - top
+            draw.rectangle([x0, y0 - th, x0 + tw, y0], fill=color)
+            draw.text((x0, y0 - th), label, fill="white", font=font)
+
+    def _save_jpeg(self, img, out_dir, img_id):
+        out_path = os.path.join(out_dir, f"{img_id}.jpg")
+        with self.fs_open(out_path, "wb", auto_mkdir=True) as f:
+            img.save(f, format="JPEG")
+        return out_path
+
+    def visualize_preds(self):
+        """Draw top-k predictions (red) on up to num_images originals
+        (reference :64-146). Reads back the predictions JSON like the
+        reference does."""
+        with self.fs_open(self.predictions_path, "r") as f:
+            all_preds = json.load(f)
+        preds_by_image: dict[int, list] = {}
+        for p in all_preds:
+            preds_by_image.setdefault(p["image_id"], []).append(p)
+
+        max_per_img = self.eval_config.max_per_image
+        num_images = self.eval_config.num_images
+        count = 0
+        for img_rec in self.coco_data["images"]:
+            img_id = img_rec["id"]
+            if img_id not in preds_by_image:
+                continue
+            if num_images is not None and count >= num_images:
+                break
+            count += 1
+            img = self._load_pil(img_rec["file_name"])
+            preds = sorted(
+                preds_by_image[img_id], key=lambda x: x["score"], reverse=True
+            )[:max_per_img]
+            entries = [
+                (p["bbox"], self.id2cat_map.get(p["category_id"], str(p["category_id"])))
+                for p in preds
+            ]
+            self._draw_boxes(img, entries, "red")
+            out = self._save_jpeg(img, self.visualization_preds_path, img_id)
+            logger.info("Saved visualization for image %s to %s", img_id, out)
+
+    def visualize_gt(self):
+        """Draw ground-truth boxes (green) — reference :148-217."""
+        gt_by_image: dict[int, list] = {}
+        for ann in self.coco_data["annotations"]:
+            gt_by_image.setdefault(ann["image_id"], []).append(ann)
+
+        num_images = self.eval_config.num_images
+        count = 0
+        for img_rec in self.coco_data["images"]:
+            img_id = img_rec["id"]
+            if img_id not in gt_by_image:
+                continue
+            if num_images is not None and count >= num_images:
+                break
+            count += 1
+            img = self._load_pil(img_rec["file_name"])
+            entries = [
+                (ann["bbox"],
+                 self.id2cat_map.get(ann["category_id"], str(ann["category_id"])))
+                for ann in gt_by_image[img_id]
+            ]
+            self._draw_boxes(img, entries, "green")
+            out = self._save_jpeg(img, self.visualization_gt_path, img_id)
+            logger.info("Saved GT visualization for image %s to %s", img_id, out)

@@ -1,0 +1,72 @@
+"""CLI entry point — parity with /root/reference/src/layoutdit/main.py:12-43.
+
+``layoutdit`` console script: build config -> model -> train -> score ->
+visualize. Both flags are FUNCTIONAL here (the reference parses
+``--local_mode``/``--read_config`` but never consumes them, main.py:14-25):
+  * --local_mode: train on the sample split / local paths,
+  * --read_config: opt IN to the remote gs:// config probe (default off in
+    this zero-egress-friendly build; LAYOUTDIT_CONFIG env always wins),
+  * --resume CKPT: true full-state resume (new capability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from layoutdit_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="LayoutDit training script")
+    parser.add_argument(
+        "--local_mode", action="store_true",
+        help="Use local samples for training",
+    )
+    parser.add_argument(
+        "--read_config", action="store_true",
+        help="Read config from gs://layoutdit/layout_dit_config.json",
+    )
+    parser.add_argument(
+        "--resume", default=None, help="Checkpoint path to resume from"
+    )
+    parser.add_argument(
+        "--skip-train", action="store_true", help="Evaluate only"
+    )
+    args = parser.parse_args()
+
+    if not args.read_config and "LAYOUTDIT_SKIP_REMOTE_CONFIG" not in os.environ:
+        os.environ["LAYOUTDIT_SKIP_REMOTE_CONFIG"] = "1"
+
+    from layoutdit_tpu.config import get_layout_dit_config
+    from layoutdit_tpu.eval.evaluator import Evaluator
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    layout_dit_config = get_layout_dit_config()
+    if args.local_mode:
+        layout_dit_config.local_mode = True
+
+    logger.info("Starting LayoutDit training (args=%s)", vars(args))
+
+    model = build_model(layout_dit_config, seed=layout_dit_config.train_config.seed)
+    logger.info("Initialized model (%.1fM params)", model.num_params() / 1e6)
+
+    if not args.skip_train:
+        trainer = Trainer(layout_dit_config, model)
+        if args.resume:
+            trainer.resume(args.resume)
+        trainer.train()
+
+    evaluator = Evaluator(model=model, layout_dit_config=layout_dit_config)
+    metrics = evaluator.score()
+    if metrics is not None:
+        logger.info("Final metrics: %s", metrics)
+    evaluator.visualize_preds()
+    evaluator.visualize_gt()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,12 @@ class DetectorConfig:
             if mc.backbone_type == BackboneType.DIT_LARGE
             else vit_mod.DIT_BASE
         )
+        if mc.vit_overrides:
+            vit_cfg = dataclasses.replace(
+                vit_cfg, image_size=mc.image_size, **mc.vit_overrides
+            )
+        elif mc.image_size != vit_cfg.image_size:
+            vit_cfg = dataclasses.replace(vit_cfg, image_size=mc.image_size)
         return cls(
             backbone=BackboneConfig(vit=vit_cfg, fpn_out_channels=mc.fpn_out_channels),
             num_classes=mc.num_classes,

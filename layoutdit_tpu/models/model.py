@@ -1,0 +1,117 @@
+"""LayoutDetectionModel — the reference's public model class, TPU-native.
+
+API parity with /root/reference/src/layoutdit/modeling/model.py:20-121:
+constructor takes a ``ModelConfig`` and an optional warm-start checkpoint
+(which, like the reference :65-70, loads ONLY the DiT encoder weights);
+``save_checkpoint`` writes full state to ``{base}/{run}/model_checkpoints``.
+
+Under the hood the model is a parameter pytree + pure functions
+(models.detection.detector); this class is the thin stateful shell that
+the Trainer/Evaluator/CLI share. Unlike the reference it also supports a
+TRUE resume: full params + optimizer + epoch state round-trip
+(SURVEY.md §5 checkpoint gap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from layoutdit_tpu.config.constructs import BackboneType, ModelConfig
+from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.models.detection.detector import (
+    DetectorConfig,
+    detector_loss,
+    detector_predict,
+    init_detector_params,
+)
+from layoutdit_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+logger = get_logger(__name__)
+
+
+class LayoutDetectionModel:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        previous_layout_dit_checkpoint: Optional[str] = None,
+        device: Optional[str] = None,
+        compute_dtype: str = "bfloat16",
+        seed: int = 0,
+    ):
+        import fsspec
+
+        self.fs_open: Callable = fsspec.open
+        self.model_config = model_config
+        self.cfg = DetectorConfig.from_model_config(
+            model_config, precision_dtype=compute_dtype
+        )
+        self.params = init_detector_params(jax.random.PRNGKey(seed), self.cfg)
+
+        ckpt = previous_layout_dit_checkpoint or model_config.previous_layout_dit_checkpoint
+        if ckpt:
+            self.load_dit_encoder(ckpt)
+
+    # ------------------------------------------------------------ weights
+
+    def load_dit_encoder(self, path: str) -> None:
+        """Warm-start ONLY the DiT/BEiT encoder (reference model.py:65-70
+        loads the torch state_dict with strict=False into backbone.dit).
+        Accepts torch .pth/.bin or safetensors BEiT state_dicts."""
+        from layoutdit_tpu.models.weights_io import load_beit_checkpoint
+
+        vit_cfg = self.cfg.backbone.vit
+        self.params["backbone"]["vit"] = load_beit_checkpoint(path, vit_cfg)
+        logger.info("Warm-started DiT encoder from %s", path)
+
+    def num_params(self) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+
+    # ------------------------------------------------------------ compute
+
+    def loss(self, rng, images, gt_boxes, gt_labels, gt_valid):
+        return detector_loss(
+            self.params, rng, images, gt_boxes, gt_labels, gt_valid, self.cfg
+        )
+
+    def predict(self, images):
+        return detector_predict(self.params, images, self.cfg)
+
+    # --------------------------------------------------------- checkpoint
+
+    def save_checkpoint(
+        self, base_path: str, run_name: str, epoch_num: int,
+        opt_state=None, extra: Optional[dict] = None,
+    ) -> str:
+        """Full-state checkpoint to ``{base}/{run}/model_checkpoints/``
+        (reference save_checkpoint_to_gcs, model.py:90-121 — minus the
+        redundant second device-copy, plus optimizer/epoch state so resume
+        is real)."""
+        path = f"{base_path}/{run_name}/model_checkpoints/epoch_{epoch_num}.msgpack"
+        save_checkpoint(
+            path,
+            params=self.params,
+            opt_state=opt_state,
+            epoch=epoch_num,
+            extra=extra,
+        )
+        logger.info("Saved checkpoint to %s", path)
+        return path
+
+    def restore_checkpoint(self, path: str):
+        """Load a full-state checkpoint saved by save_checkpoint; returns
+        (opt_state_bytes, epoch, extra) for the Trainer to finish restoring."""
+        state = load_checkpoint(path, params_template=self.params)
+        self.params = state["params"]
+        return state
+
+
+def build_model(config, seed: int = 0) -> LayoutDetectionModel:
+    """Construct from the top-level LayoutDitConfig (main.py parity)."""
+    return LayoutDetectionModel(
+        model_config=config.detection_model_config,
+        compute_dtype=config.precision.compute_dtype,
+        seed=seed,
+    )

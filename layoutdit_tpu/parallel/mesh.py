@@ -1,0 +1,87 @@
+"""Device mesh + sharding utilities (the reference's distributed-training
+TODO, README.md:59, realised TPU-natively).
+
+Data parallelism is expressed declaratively: build a Mesh over the chips,
+shard the batch dimension over the ``data`` axis, replicate parameters,
+and let jit insert the gradient all-reduce over ICI (SPMD — no NCCL-style
+explicit collectives). The same code path runs single-chip (trivial mesh),
+on a real multi-chip slice, or on a virtual
+``--xla_force_host_platform_device_count`` CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from layoutdit_tpu.config.constructs import MeshConfig
+from layoutdit_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def maybe_distributed_init(cfg: MeshConfig) -> None:
+    """Multi-host bring-up (replaces torch.distributed/NCCL init — none in
+    the reference, SURVEY.md §2.3)."""
+    if cfg.enable_distributed_init and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialised / single process
+            logger.warning("jax.distributed.initialize skipped: %s", e)
+
+
+def build_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:
+    """Mesh over all devices: ('data', 'model') axes; data axis takes the
+    remainder when data_parallel == -1."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        logger.warning(
+            "mesh %dx%d != %d devices; falling back to %dx1", dp, mp, n, n
+        )
+        dp, mp = n, 1
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, axis_names=cfg.axis_names)
+
+
+def build_mesh_for_batch(cfg: MeshConfig, batch_size: int) -> Mesh:
+    """Mesh whose data axis divides ``batch_size`` (a global batch must
+    shard evenly); uses the largest usable device prefix."""
+    devices = jax.devices()
+    mp = max(1, cfg.model_parallel)
+    dp_max = cfg.data_parallel if cfg.data_parallel > 0 else len(devices) // mp
+    dp = max(d for d in range(1, dp_max + 1) if batch_size % d == 0)
+    if dp != dp_max:
+        logger.warning(
+            "data_parallel clamped %d -> %d to divide batch_size=%d",
+            dp_max, dp, batch_size,
+        )
+    return build_mesh(
+        MeshConfig(
+            data_parallel=dp, model_parallel=mp, axis_names=cfg.axis_names
+        ),
+        devices=devices[: dp * mp],
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_tree(tree, mesh: Mesh):
+    """device_put every leaf with its batch dim sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    s = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

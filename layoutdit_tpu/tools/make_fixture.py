@@ -131,8 +131,12 @@ def make_fixture(
 
 
 def write_fixture_config(out_dir: str, split: str = "samples",
-                         epochs: int = 2, batch_size: int = 4) -> str:
-    """A LAYOUTDIT_CONFIG json pointing train+eval at the fixture."""
+                         epochs: int = 2, batch_size: int = 4,
+                         tiny_model: bool = False) -> str:
+    """A LAYOUTDIT_CONFIG json pointing train+eval at the fixture.
+
+    tiny_model=True scales the ViT/budgets down for fast CPU e2e drives.
+    """
     cfg = {
         "run_name": "fixture",
         "local_mode": True,
@@ -143,6 +147,21 @@ def write_fixture_config(out_dir: str, split: str = "samples",
         "eval_config": {"eval_input": split, "eval_base_path": out_dir},
         "data_loader_config": {"batch_size": batch_size, "num_workers": 2},
     }
+    if tiny_model:
+        cfg["data_loader_config"]["max_gt_boxes"] = 32
+        cfg["detection_model_config"] = {
+            "vit_overrides": {
+                "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 2, "intermediate_size": 128,
+            },
+            "fpn_out_channels": 64,
+            "detection_budget": {
+                "rpn_pre_nms_top_n_train": 500, "rpn_pre_nms_top_n_test": 300,
+                "rpn_post_nms_top_n_train": 500, "rpn_post_nms_top_n_test": 300,
+                "box_batch_size_per_image": 128, "box_detections_per_img": 50,
+            },
+        }
+        cfg["precision"] = {"compute_dtype": "float32"}
     path = os.path.join(out_dir, "cfg.json")
     with open(path, "w") as f:
         json.dump(cfg, f, indent=2)
@@ -157,10 +176,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--tiny-model", action="store_true")
     args = ap.parse_args()
     json_path = make_fixture(args.out_dir, args.n, args.split, seed=args.seed)
     cfg_path = write_fixture_config(
-        args.out_dir, args.split, args.epochs, args.batch_size
+        args.out_dir, args.split, args.epochs, args.batch_size,
+        tiny_model=args.tiny_model,
     )
     print(f"fixture: {json_path}\nconfig:  {cfg_path}")
 

@@ -1,0 +1,261 @@
+"""Trainer: jitted+sharded train step, epoch loop, checkpoints, artifacts.
+
+Functional parity with /root/reference/src/layoutdit/training/trainer.py:
+  * AdamW(lr, weight_decay) + StepLR(step_size, gamma) stepped per epoch
+    (:62-76) — expressed as an optax schedule over update counts,
+  * per-epoch loop: forward -> sum of the four losses -> update (:148-202;
+    the reference's per-batch scheduler/checkpoint indentation bug is
+    deliberately NOT reproduced, SURVEY.md §7 quirks),
+  * avg-loss logging "Epoch i/N, Loss: x" (:138), checkpoint every
+    ``checkpoint_interval`` epochs (:142-146),
+  * loss-curve PNG (:217-230) and profiler traces (:83-90, 232-257)
+    uploaded via fsspec,
+TPU-native execution: one jit-compiled train step with donated
+params/optimizer buffers, batch sharded over the mesh's data axis and
+parameters replicated (gradient all-reduce is implicit in SPMD), bf16
+compute (no GradScaler — bf16 needs no loss scaling, replacing :78-80),
+input batches double-buffered by the DetectionLoader.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from layoutdit_tpu.config.constructs import LayoutDitConfig, TrainingConfig
+from layoutdit_tpu.data.dataset import PubLayNetDataset
+from layoutdit_tpu.data.pipeline import DetectionLoader
+from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.models.detection.detector import detector_loss
+from layoutdit_tpu.models.model import LayoutDetectionModel
+from layoutdit_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh_for_batch,
+    maybe_distributed_init,
+    replicated_sharding,
+)
+
+logger = get_logger(__name__)
+
+
+def resolve_split(config: LayoutDitConfig, train: bool = True) -> tuple[str, str]:
+    """(images_root, annotations_json). ``local_mode`` switches training to
+    the sample split (making the reference's dead flag functional,
+    main.py:14-16 / SURVEY.md §7)."""
+    base = config.train_config.train_base_path
+    segment = (
+        config.eval_config.eval_input
+        if (config.local_mode and train)
+        else (config.train_config.train_input if train else config.eval_config.eval_input)
+    )
+    return f"{base}/{segment}/", f"{base}/{segment}.json"
+
+
+def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
+    """AdamW + StepLR(gamma^(epoch // step_size)) as one optax chain."""
+
+    def lr_schedule(count):
+        epoch = count // max(1, steps_per_epoch)
+        return train_cfg.learning_rate * (
+            train_cfg.gamma ** (epoch // train_cfg.step_size)
+        )
+
+    tx = optax.adamw(
+        learning_rate=lr_schedule,
+        b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=train_cfg.weight_decay,
+    )
+    if train_cfg.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    return tx
+
+
+class Trainer:
+    def __init__(self, config: LayoutDitConfig, model: LayoutDetectionModel):
+        import fsspec
+
+        self.fs_open = fsspec.open
+        self.config = config
+        self.model = model
+        self.loss_history: list[float] = []
+        self.trace_log_dir = config.train_config.trace_log_dir
+        self.epoch = 0
+
+        maybe_distributed_init(config.mesh_config)
+        self.mesh = build_mesh_for_batch(
+            config.mesh_config, config.data_loader_config.batch_size
+        )
+        logger.info("Device mesh: %s", self.mesh)
+
+        self._build_dataloader()
+        self._setup_optimizer()
+        self._build_train_step()
+
+    # ------------------------------------------------------------- setup
+
+    def _build_dataloader(self):
+        dl_cfg = self.config.data_loader_config
+        images_root, ann_json = resolve_split(self.config, train=True)
+        dataset = PubLayNetDataset(
+            images_root_dir=images_root, annotations_json_path=ann_json
+        )
+        self.dataloader = DetectionLoader(
+            dataset,
+            batch_size=dl_cfg.batch_size,
+            shuffle=dl_cfg.shuffle,
+            num_workers=dl_cfg.num_workers,
+            image_size=self.config.detection_model_config.image_size,
+            max_gt=dl_cfg.max_gt_boxes,
+            seed=self.config.train_config.seed,
+            drop_last=True,  # constant shapes: one compiled step
+            device_put=False,  # sharded placement happens in train loop
+            prefetch_depth=dl_cfg.prefetch_depth,
+        )
+
+    def _setup_optimizer(self):
+        self.tx = make_optimizer(self.config.train_config, len(self.dataloader))
+        self.opt_state = self.tx.init(self.model.params)
+
+    def _build_train_step(self):
+        cfg = self.model.cfg
+        tx = self.tx
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+
+        def step(params, opt_state, rng, images, gt_boxes, gt_labels, gt_valid):
+            def total_loss(p):
+                losses = detector_loss(
+                    p, rng, images, gt_boxes, gt_labels, gt_valid, cfg
+                )
+                return sum(losses.values()), losses
+
+            (loss, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, losses
+
+        self._train_step = jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, data, data, data, data),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    # ------------------------------------------------------------- loops
+
+    def _run_epoch(self, epoch: int) -> float:
+        train_cfg = self.config.train_config
+        t0 = time.time()
+        total = 0.0
+        n_steps = 0
+        n_images = 0
+        key = jax.random.PRNGKey(train_cfg.seed + 1000 + epoch)
+        for batch in self.dataloader:
+            key, sub = jax.random.split(key)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=n_steps):
+                self.model.params, self.opt_state, loss, _ = self._train_step(
+                    self.model.params, self.opt_state, sub,
+                    batch.images, batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+                )
+            total += float(loss)  # host sync once per step; small vs step time
+            n_steps += 1
+            n_images += batch.images.shape[0]
+            logger.debug("Finished batch. batch_size=%d", batch.images.shape[0])
+        avg = total / max(1, n_steps)
+        dt = time.time() - t0
+        self.loss_history.append(avg)
+        logger.info(
+            "Epoch %d/%d, Loss: %.4f (%.1f img/s)",
+            epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),
+        )
+        return avg
+
+    def train(self):
+        train_cfg = self.config.train_config
+        start = self.epoch
+        profiling = False
+        if train_cfg.enable_profile:
+            os.makedirs(self.trace_log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_log_dir)
+            profiling = True
+        try:
+            for epoch in range(start, train_cfg.num_epochs):
+                self._run_epoch(epoch)
+                # per-EPOCH checkpoint cadence (the non-buggy variant)
+                if (epoch + 1) % train_cfg.checkpoint_interval == 0:
+                    path = self.model.save_checkpoint(
+                        self._artifact_base(), self.config.run_name, epoch + 1,
+                        opt_state=self.opt_state,
+                        extra={"loss_history": self.loss_history},
+                    )
+                    logger.info("Saved checkpoint to %s", path)
+                self.epoch = epoch + 1
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+        self._save_loss()
+        if train_cfg.enable_profile:
+            self._save_traces(self.config.run_name)
+
+    def resume(self, checkpoint_path: str):
+        """True resume: params + optimizer + epoch (absent in the
+        reference — SURVEY.md §5)."""
+        from layoutdit_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(
+            checkpoint_path, params_template=self.model.params,
+            opt_state_template=self.opt_state,
+        )
+        self.model.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = state["epoch"]
+        self.loss_history = state["extra"].get("loss_history", [])
+        logger.info("Resumed from %s at epoch %d", checkpoint_path, self.epoch)
+
+    # ---------------------------------------------------------- artifacts
+
+    def _artifact_base(self) -> str:
+        return self.config.eval_config.eval_base_path or "."
+
+    def _save_loss(self):
+        """Loss-curve PNG (reference trainer.py:217-230)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot(range(1, len(self.loss_history) + 1), self.loss_history, marker="o")
+        ax.set_xlabel("Epoch")
+        ax.set_ylabel("Average Loss")
+        ax.set_title("Training Loss per Epoch")
+        loss_path = (
+            f"{self._artifact_base()}/{self.config.run_name}"
+            "/loss_history/loss_curve.png"
+        )
+        logger.info("Saving loss to %s", loss_path)
+        with self.fs_open(loss_path, "wb", auto_mkdir=True) as f:
+            fig.savefig(f, format="png", bbox_inches="tight")
+        plt.close(fig)
+
+    def _save_traces(self, run_name: str):
+        """Upload profiler traces (reference trainer.py:232-257), keeping
+        relative paths."""
+        import fsspec
+
+        local_root = self.trace_log_dir.rstrip("/")
+        remote_root = f"{self._artifact_base()}/{run_name}/profiler"
+        for dirpath, _dirnames, filenames in os.walk(local_root):
+            for fname in filenames:
+                local_path = os.path.join(dirpath, fname)
+                rel = os.path.relpath(local_path, local_root)
+                remote = f"{remote_root}/{rel.replace(os.sep, '/')}"
+                with open(local_path, "rb") as lf:
+                    with fsspec.open(remote, "wb", auto_mkdir=True) as rf:
+                        rf.write(lf.read())
+                logger.info("Uploaded trace %s -> %s", rel, remote)

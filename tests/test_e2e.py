@@ -1,0 +1,92 @@
+"""End-to-end CLI pipeline test: config -> train -> checkpoint -> score ->
+visualize -> resume, on the synthetic fixture with a tiny model
+(the full reference surface of main.py:12-43 in one pass)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    make_fixture(root, n_images=8, split="samples", seed=1)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    return root
+
+
+@pytest.mark.slow
+def test_full_pipeline(fixture_dir):
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture_dir, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        from layoutdit_tpu.eval.evaluator import Evaluator
+        from layoutdit_tpu.models.model import build_model
+        from layoutdit_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert len(trainer.loss_history) == 1
+        assert np.isfinite(trainer.loss_history[0])
+
+        run_dir = os.path.join(fixture_dir, "fixture")
+        ckpt = os.path.join(run_dir, "model_checkpoints", "epoch_1.msgpack")
+        assert os.path.exists(ckpt)
+        assert os.path.exists(os.path.join(run_dir, "loss_history", "loss_curve.png"))
+
+        evaluator = Evaluator(model=model, layout_dit_config=cfg)
+        metrics = evaluator.score()
+        assert metrics is not None and set(metrics) >= {"mAP", "AP50", "AR100"}
+        assert os.path.exists(os.path.join(run_dir, "predictions.json"))
+
+        evaluator.visualize_preds()
+        evaluator.visualize_gt()
+        assert os.path.exists(os.path.join(run_dir, "visualizations_gt", "1.jpg"))
+        assert os.path.exists(os.path.join(run_dir, "visualizations_preds", "1.jpg"))
+
+        # true resume: params + optimizer + epoch
+        cfg2 = cfg.model_copy(deep=True)
+        cfg2.train_config.num_epochs = 2
+        model2 = build_model(cfg2)
+        trainer2 = Trainer(cfg2, model2)
+        trainer2.resume(ckpt)
+        assert trainer2.epoch == 1
+        assert trainer2.loss_history  # restored
+        trainer2.train()
+        assert len(trainer2.loss_history) == 2
+    finally:
+        set_layout_dit_config(None)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from layoutdit_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    opt = {"mu": jnp.zeros((2, 3))}
+    path = str(tmp_path / "ck" / "state.msgpack")
+    save_checkpoint(path, params, opt, epoch=7, extra={"loss_history": [1.0, 0.5]})
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    state = load_checkpoint(path, zero, jax.tree_util.tree_map(jnp.ones_like, opt))
+    np.testing.assert_array_equal(np.asarray(state["params"]["a"]), np.asarray(params["a"]))
+    np.testing.assert_array_equal(np.asarray(state["opt_state"]["mu"]), 0)
+    assert state["epoch"] == 7
+    assert state["extra"]["loss_history"] == [1.0, 0.5]
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    from layoutdit_tpu.train.checkpoint import load_checkpoint
+
+    p = tmp_path / "bad.msgpack"
+    p.write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError):
+        load_checkpoint(str(p), params_template={})
