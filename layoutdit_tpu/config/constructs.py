@@ -172,6 +172,8 @@ class ModelConfig(BaseModel):
 
     # Attention implementation: "xla" (einsum) or "pallas" (flash kernel).
     attention_impl: str = "xla"
+    # RoI pooler: "xla" or "pallas" (fused VMEM kernel).
+    roi_impl: str = "xla"
 
     # Optional ViT architecture overrides (hidden_size, num_hidden_layers,
     # ...) applied on top of the backbone preset — used for scaled-down

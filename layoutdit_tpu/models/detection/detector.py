@@ -66,6 +66,12 @@ class DetectorConfig:
     compute_dtype: str = "float32"
     attention_impl: str = "xla"
     remat: bool = False
+    # "dit" (ViT pyramid, reference model.py:57-70) or "resnet50"
+    # (reference :72-84). The resnet path pools RoIs from 4 levels
+    # (featmap_names "0".."3", no pool level) as torchvision does.
+    backbone_kind: str = "dit"
+    # RoI pooler implementation: "xla" or "pallas" (fused VMEM kernel).
+    roi_impl: str = "xla"
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -100,6 +106,9 @@ class DetectorConfig:
             )
         elif mc.image_size != vit_cfg.image_size:
             vit_cfg = dataclasses.replace(vit_cfg, image_size=mc.image_size)
+        backbone_kind = (
+            "resnet50" if mc.backbone_type == BackboneType.RESNET50 else "dit"
+        )
         return cls(
             backbone=BackboneConfig(vit=vit_cfg, fpn_out_channels=mc.fpn_out_channels),
             num_classes=mc.num_classes,
@@ -113,6 +122,8 @@ class DetectorConfig:
             budget=mc.detection_budget,
             compute_dtype=precision_dtype,
             attention_impl=mc.attention_impl,
+            roi_impl=mc.roi_impl,
+            backbone_kind=backbone_kind,
         )
 
 
@@ -130,8 +141,14 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
     k_bb, k_rpn, k_head, k_pred = jax.random.split(key, 4)
     rep = 1024
     in_features = cfg.backbone.fpn_out_channels * cfg.roi_output_size**2
+    if cfg.backbone_kind == "resnet50":
+        from layoutdit_tpu.models.resnet import init_resnet_fpn_params
+
+        bb_params = init_resnet_fpn_params(k_bb, cfg.backbone.fpn_out_channels)
+    else:
+        bb_params = init_backbone_params(k_bb, cfg.backbone)
     return {
-        "backbone": init_backbone_params(k_bb, cfg.backbone),
+        "backbone": bb_params,
         "rpn_head": init_rpn_head_params(
             k_rpn, cfg.backbone.fpn_out_channels, cfg.num_anchors_per_cell
         ),
@@ -158,11 +175,16 @@ def _anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
 
 def _run_trunk(params, images, cfg: DetectorConfig):
     x = _normalize(images, cfg).astype(cfg.dtype)
-    feats = backbone_forward(
-        params["backbone"], x, cfg.backbone,
-        compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
-        remat=cfg.remat,
-    )
+    if cfg.backbone_kind == "resnet50":
+        from layoutdit_tpu.models.resnet import resnet_fpn_forward
+
+        feats = resnet_fpn_forward(params["backbone"], x, compute_dtype=cfg.dtype)
+    else:
+        feats = backbone_forward(
+            params["backbone"], x, cfg.backbone,
+            compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
+            remat=cfg.remat,
+        )
     objectness, deltas = rpn_head_forward(
         params["rpn_head"], feats, cfg.num_anchors_per_cell
     )
@@ -172,6 +194,10 @@ def _run_trunk(params, images, cfg: DetectorConfig):
 def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
     """RoIs [B, K, 4] -> (class_logits [B, K, NC+1], box_deltas)."""
     scales = cfg.backbone.spatial_scales
+    if cfg.backbone_kind == "resnet50":
+        # torchvision resnet path pools from "0".."3" only (model.py:84)
+        feats = feats[:4]
+        scales = scales[:4]
 
     def single(feats_i, rois_i, valid_i):
         pooled = multiscale_roi_align(
@@ -180,6 +206,7 @@ def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
             sampling_ratio=cfg.roi_sampling_ratio,
             canonical_scale=float(cfg.image_size),
             roi_mask=valid_i,
+            impl=cfg.roi_impl,
         )
         rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
         return predictor_forward(params["box_predictor"], rep)

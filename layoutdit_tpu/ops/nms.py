@@ -1,22 +1,21 @@
-"""Fixed-shape on-device NMS.
+"""Fixed-shape on-device NMS, blocked for TPU.
 
 The reference gets NMS from torchvision's C++/CUDA kernel
 (``torchvision::nms``, linked through FasterRCNN — SURVEY.md §2.2). On TPU
-everything must be shape-static and on-device, so NMS is expressed as a
-masked greedy suppression over a *fixed* number of candidates:
+everything must be shape-static and on-device, so NMS is a masked greedy
+suppression over a *fixed* number of candidates producing a keep-mask
+(padding carries -inf score); semantics match torchvision exactly: sort by
+score descending, keep a box unless a previously-KEPT box overlaps it with
+IoU strictly greater than the threshold.
 
-  * invalid / padding candidates carry ``-inf`` score,
-  * output is a boolean keep-mask (same shape as scores), not a
-    variable-length index list,
-  * semantics match torchvision exactly: sort by score descending, greedily
-    keep a box unless a previously-kept box overlaps it with IoU strictly
-    greater than ``iou_threshold``.
-
-Greedy NMS has true sequential dependencies (suppression chains), so the
-core is a ``lax.scan`` over candidates in score order with O(N) vector work
-per step — a single fused device loop, no host round-trips. ``batched_nms``
-uses torchvision's coordinate-offset trick so one scan handles all
-classes/levels jointly.
+Greedy NMS has true sequential chains, but they rarely span far in score
+order, so the kernel is blocked: candidates are processed in score-sorted
+tiles of ``TILE`` boxes. Cross-tile suppression by already-kept boxes is
+one vectorized [N, TILE] pass; within a tile, an exact monotone fixpoint
+(kept/dead/unknown tri-state — each sweep determines at least the
+lowest-scoring unknown box, typically converging in 2-4 sweeps) replaces
+the naive per-box scan. Sequential device steps drop from O(N) to
+O(N/TILE + chain-depth), ~30x fewer for RPN-scale inputs.
 """
 
 from __future__ import annotations
@@ -25,6 +24,46 @@ import jax
 import jax.numpy as jnp
 
 from layoutdit_tpu.ops.boxes import box_iou
+
+TILE = 128
+
+
+def _within_tile_greedy(overlap: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy keep-mask inside one tile.
+
+    overlap: [T, T] bool, overlap[r, c] True when r < c (strict score
+    order) and IoU > threshold. alive: [T] candidates not already
+    suppressed. A box is KEPT when every alive higher-scoring overlapping
+    box is DEAD; DEAD when some KEPT higher box overlaps it. The sweep
+    below is monotone (kept/dead only grow) and each iteration determines
+    at least the lowest-scoring undetermined box, so it reaches the exact
+    greedy fixpoint in <= T sweeps (typically a few).
+    """
+    t = overlap.shape[0]
+    kept0 = jnp.zeros((t,), bool)
+    dead0 = ~alive
+
+    def cond(state):
+        kept, dead, changed = state
+        return changed
+
+    def body(state):
+        kept, dead, _ = state
+        unknown = ~kept & ~dead
+        # dead: overlapped by a KEPT higher box
+        new_dead = dead | (alive & jnp.any(overlap & kept[:, None], axis=0))
+        # kept: alive and no higher overlapping box is still kept-or-unknown
+        blocker = kept | (unknown & alive)
+        new_kept = kept | (
+            alive & ~new_dead & ~jnp.any(overlap & blocker[:, None], axis=0)
+        )
+        # a box may be both "newly dead" and "newly kept" is impossible:
+        # new_kept requires no kept blocker, new_dead requires one.
+        changed = jnp.any(new_kept != kept) | jnp.any(new_dead != dead)
+        return new_kept, new_dead, changed
+
+    kept, _, _ = jax.lax.while_loop(cond, body, (kept0, dead0, jnp.bool_(True)))
+    return kept
 
 
 def nms_mask(
@@ -48,31 +87,32 @@ def nms_mask(
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-scores, stable=True)
-    boxes_s = boxes[order]
-    valid_s = jnp.isfinite(scores[order])
+    n_pad = (n + TILE - 1) // TILE * TILE
+    boxes_s = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
+    valid_s = jnp.zeros((n_pad,), bool).at[:n].set(jnp.isfinite(scores[order]))
 
-    positions = jnp.arange(n)
+    num_tiles = n_pad // TILE
+    tri = jnp.triu(jnp.ones((TILE, TILE), bool), k=1)
+    positions = jnp.arange(n_pad)
 
-    def step(keep, inputs):
-        i, box_i, valid_i = inputs
-        # IoU of this box vs all (computed on the fly: O(N) memory total,
-        # the full N x N matrix would blow HBM at RPN candidate counts)
-        iou_row = box_iou(box_i[None], boxes_s)[0]
-        # suppressed if any earlier kept box overlaps > threshold
-        earlier_kept = keep & (positions < i)
-        suppressed = jnp.any(earlier_kept & (iou_row > iou_threshold))
-        keep_i = valid_i & ~suppressed
-        keep = keep.at[i].set(keep_i)
-        return keep, None
+    def tile_step(i, keep):
+        start = i * TILE
+        tile_boxes = jax.lax.dynamic_slice_in_dim(boxes_s, start, TILE)
+        tile_valid = jax.lax.dynamic_slice_in_dim(valid_s, start, TILE)
+        # suppression by kept boxes from earlier tiles (vectorized)
+        cross = box_iou(boxes_s, tile_boxes) > iou_threshold  # [N_pad, T]
+        earlier_kept = keep & (positions < start)
+        dead_prev = jnp.any(cross & earlier_kept[:, None], axis=0)
+        alive = tile_valid & ~dead_prev
+        # exact greedy within the tile
+        overlap = (box_iou(tile_boxes, tile_boxes) > iou_threshold) & tri
+        kept_tile = _within_tile_greedy(overlap, alive)
+        return jax.lax.dynamic_update_slice_in_dim(keep, kept_tile, start, 0)
 
-    keep_sorted, _ = jax.lax.scan(
-        step,
-        jnp.zeros((n,), dtype=bool),
-        (positions, boxes_s, valid_s),
+    keep_sorted = jax.lax.fori_loop(
+        0, num_tiles, tile_step, jnp.zeros((n_pad,), bool)
     )
-    # scatter back to original order
-    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
-    return keep
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted[:n])
 
 
 def batched_nms_mask(
@@ -85,7 +125,7 @@ def batched_nms_mask(
     """Category-aware NMS (torchvision batched_nms coordinate-offset trick).
 
     Boxes with different ``idxs`` (class or FPN level) never suppress each
-    other; one fused scan handles everything.
+    other; one fused blocked pass handles everything.
     """
     if boxes.shape[0] == 0:
         return jnp.zeros((0,), dtype=bool)

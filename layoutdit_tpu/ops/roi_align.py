@@ -50,6 +50,43 @@ def _bilinear_weight_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     return w * in_range[..., None].astype(coords.dtype)
 
 
+def build_roi_weights(
+    rois: jnp.ndarray,  # [K, 4]
+    spatial_scale: float,
+    size_hw: tuple[int, int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-roi separable bilinear weights (Wy [K, P, H], Wx [K, P, W]) with
+    the g x g within-bin sample average folded in (the average of separable
+    products factorizes). Rows of masked-out rois are zero."""
+    h, w = size_hw
+    p = output_size
+    g = sampling_ratio
+    wdtype = jnp.float32
+    r = rois.astype(wdtype)
+
+    start_w = r[:, 0] * spatial_scale
+    start_h = r[:, 1] * spatial_scale
+    roi_w = jnp.maximum(r[:, 2] * spatial_scale - start_w, 1.0)
+    roi_h = jnp.maximum(r[:, 3] * spatial_scale - start_h, 1.0)
+
+    grid = (
+        jnp.arange(p * g, dtype=wdtype) // g
+        + (jnp.arange(p * g, dtype=wdtype) % g + 0.5) / g
+    )
+    ys = start_h[:, None] + grid[None, :] * (roi_h / p)[:, None]
+    xs = start_w[:, None] + grid[None, :] * (roi_w / p)[:, None]
+
+    k = r.shape[0]
+    wy = _bilinear_weight_matrix(ys, h).reshape(k, p, g, h).mean(axis=2)
+    wx = _bilinear_weight_matrix(xs, w).reshape(k, p, g, w).mean(axis=2)
+    if roi_mask is not None:
+        wy = wy * roi_mask[:, None, None].astype(wdtype)
+    return wy, wx
+
+
 def roi_align(
     feature: jnp.ndarray,
     rois: jnp.ndarray,
@@ -68,56 +105,42 @@ def roi_align(
 
     Returns: [K, C, output_size, output_size] float32.
     """
-    _, h, w = feature.shape
-    k = rois.shape[0]
-    p = output_size
-    g = sampling_ratio
-    dtype = jnp.float32
-    rois = rois.astype(dtype)
+    wy, wx = build_roi_weights(
+        rois, spatial_scale, feature.shape[-2:], output_size, sampling_ratio,
+        roi_mask,
+    )
+    return pooled_from_weights(feature, wy, wx)
 
-    start_w = rois[:, 0] * spatial_scale
-    start_h = rois[:, 1] * spatial_scale
-    roi_w = jnp.maximum(rois[:, 2] * spatial_scale - start_w, 1.0)
-    roi_h = jnp.maximum(rois[:, 3] * spatial_scale - start_h, 1.0)
-    bin_w = roi_w / p
-    bin_h = roi_h / p
 
-    # sample coordinates: [K, p*g]
-    grid = (
-        jnp.arange(p * g, dtype=dtype) // g
-        + (jnp.arange(p * g, dtype=dtype) % g + 0.5) / g
-    )  # ph + (iy+0.5)/g, in bin units
-    ys = start_h[:, None] + grid[None, :] * bin_h[:, None]
-    xs = start_w[:, None] + grid[None, :] * bin_w[:, None]
-
-    wy = _bilinear_weight_matrix(ys, h)  # [K, p*g, H]
-    wx = _bilinear_weight_matrix(xs, w)  # [K, p*g, W]
-    if roi_mask is not None:
-        wy = wy * roi_mask[:, None, None].astype(dtype)
-
-    feat = feature.astype(dtype)
-    c = feat.shape[0]
-    s_dim = p * g
-    # Step 1 — one big MXU matmul: [K*S, H] @ [H, C*W] -> [K, S, C, W]
+def pooled_from_weights(
+    feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
+) -> jnp.ndarray:
+    """pooled[k, c, py, px] = (Wy[k] @ F @ Wx[k]^T)[py, c?, px] via two
+    MXU contractions (the XLA formulation; also the autodiff fallback for
+    the fused Pallas kernel)."""
+    c, h, w = feature.shape
+    k, p, _ = wy.shape
+    feat = feature
+    cdtype = feat.dtype  # bf16 in production: halves the HBM traffic of t
+    # Step 1 — one big MXU matmul: [K*P, H] @ [H, C*W] -> [K, P, C, W]
     t = jax.lax.dot_general(
-        wy.reshape(k * s_dim, h),
+        wy.reshape(k * p, h).astype(cdtype),
         feat.transpose(1, 0, 2).reshape(h, c * w),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(k, s_dim, c, w)
-    # Step 2 — batched GEMM over K: [K, S*C, W] x [K, S(W-contract)] ->
-    # [K, S, C, S]. Explicit dot_general so XLA emits a batched matmul
-    # (einsum here lowered to a broadcast-multiply-reduce and was ~1000x
-    # slower on TPU).
+    ).astype(cdtype).reshape(k, p, c, w)
+    # Step 2 — batched GEMM over K (explicit dot_general: einsum lowered
+    # to a broadcast-multiply-reduce and was ~100x slower on TPU).
+    # output in the feature dtype: the pooled tensor [K, C, P, P] is the
+    # single largest intermediate of the detector (bf16 halves its HBM
+    # round-trip; accumulation stays fp32 inside the MXU)
     s = jax.lax.dot_general(
-        t.reshape(k, s_dim * c, w),
-        wx,  # [K, S, W]
+        t.reshape(k, p * c, w),
+        wx.astype(cdtype),  # [K, P, W]
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).reshape(k, s_dim, c, s_dim)
-    # -> [K, C, S, S], then average the g x g samples per bin
-    s = s.transpose(0, 2, 1, 3).reshape(k, c, p, g, p, g)
-    return s.mean(axis=(3, 5))
+    ).astype(cdtype).reshape(k, p, c, p)
+    return s.transpose(0, 2, 1, 3)  # [K, C, P, P]
 
 
 def multiscale_roi_align(
@@ -129,14 +152,18 @@ def multiscale_roi_align(
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
     roi_mask: jnp.ndarray | None = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """torchvision MultiScaleRoIAlign over FPN levels (model.py:34-38).
 
     Each RoI is assigned one level via the FPN level mapper
     ``lvl = floor(canonical_level + log2(sqrt(area)/canonical_scale))``;
     on TPU we run every level over all RoIs with non-assigned RoIs masked
-    to zero weights and sum — shape-static, and the per-level einsums stay
-    dense MXU work.
+    to zero weights and sum — shape-static.
+
+    impl: "xla" (per-level dot_generals) or "pallas"/"pallas_interpret"
+    (fused VMEM-resident kernel, ops/roi_align_pallas.py — one bf16 output
+    write instead of five fp32 level round-trips).
 
     Returns: [K, C, output_size, output_size].
     """
@@ -148,11 +175,39 @@ def multiscale_roi_align(
     )
     lvl = jnp.clip(lvl, lvl_min, lvl_min + num_levels - 1).astype(jnp.int32)
 
-    out = None
-    for i, (feat, scale) in enumerate(zip(features, spatial_scales)):
+    masks = []
+    for i in range(num_levels):
         mask = lvl == (lvl_min + i)
         if roi_mask is not None:
             mask = mask & roi_mask
+        masks.append(mask)
+
+    if impl.startswith("pallas"):
+        from layoutdit_tpu.ops.roi_align_pallas import (
+            DEFAULT_KB,
+            fused_multiscale_roi_align,
+        )
+
+        k = rois.shape[0]
+        k_pad = (k + DEFAULT_KB - 1) // DEFAULT_KB * DEFAULT_KB
+        rois_p = jnp.pad(rois, ((0, k_pad - k), (0, 0)))
+        wys, wxs = [], []
+        for feat, scale, mask in zip(features, spatial_scales, masks):
+            mask_p = jnp.pad(mask, (0, k_pad - k))
+            wy, wx = build_roi_weights(
+                rois_p, scale, feat.shape[-2:], output_size, sampling_ratio,
+                roi_mask=mask_p,
+            )
+            wys.append(wy)
+            wxs.append(wx)
+        out = fused_multiscale_roi_align(
+            tuple(features), tuple(wys), tuple(wxs),
+            impl == "pallas_interpret",
+        )
+        return out[:k]
+
+    out = None
+    for feat, scale, mask in zip(features, spatial_scales, masks):
         pooled = roi_align(
             feat, rois, scale, output_size, sampling_ratio, roi_mask=mask
         )

@@ -144,6 +144,32 @@ def test_nms_suppression_chain():
     assert keep.tolist() == [True, False, True]
 
 
+def test_nms_dense_clusters_match_reference(rng):
+    """Stress the blocked kernel's within/cross-tile logic: 400 boxes
+    crammed into a small area -> deep suppression chains crossing tile
+    boundaries."""
+    n = 400
+    centers = rng.uniform(20, 60, (n, 2)).astype(np.float32)
+    sizes = rng.uniform(10, 30, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thresh in (0.3, 0.5, 0.7):
+        want = _nms_ref(boxes, scores, thresh)
+        got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), thresh))
+        np.testing.assert_array_equal(got, want, err_msg=f"thresh={thresh}")
+
+
+def test_nms_exact_tile_boundary(rng):
+    """N an exact multiple of the 128 tile and duplicates straddling it."""
+    n = 256
+    boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (n, 1))
+    boxes += rng.uniform(0, 0.01, (n, 4)).astype(np.float32)  # near-identical
+    scores = np.linspace(1, 0, n).astype(np.float32)
+    got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    want = _nms_ref(boxes, scores, 0.5)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_batched_nms_isolates_categories():
     boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], dtype=np.float32)
     scores = np.array([0.9, 0.8], dtype=np.float32)
