@@ -53,6 +53,13 @@ class PubLayNetDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def load_image_bytes(self, img_id) -> bytes:
+        """Raw encoded image bytes (consumed by the native C++ decoder)."""
+        file_name = self.image_info[img_id]["file_name"]
+        img_path = os.path.join(self.images_root_dir, file_name)
+        with self.fs_open(img_path, "rb") as f:
+            return f.read()
+
     def load_image(self, img_id) -> np.ndarray:
         """Decode one image -> [3, H, W] float32 in [0, 1]."""
         from PIL import Image

@@ -48,10 +48,19 @@ def prepare_example(
     target: dict,
     image_size: int,
     max_gt: int,
+    skip_image: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Resize one example into model space and pad its targets."""
+    """Resize one example into model space and pad its targets.
+
+    skip_image=True only scales/pads targets (the native C++ loader has
+    already produced the resized image)."""
     _, h, w = image.shape
-    resized = resize_bilinear_np(image, image_size, image_size).astype(np.float32)
+    if skip_image:
+        resized = None
+    else:
+        resized = resize_bilinear_np(image, image_size, image_size).astype(
+            np.float32
+        )
 
     boxes = np.asarray(target["boxes"], np.float32).reshape(-1, 4)
     labels = np.asarray(target["labels"], np.int64)
@@ -91,6 +100,7 @@ class DetectionLoader:
         drop_last: bool = False,
         device_put: bool = True,
         prefetch_depth: int = 2,
+        use_native: bool | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -103,6 +113,11 @@ class DetectionLoader:
         self.device_put = device_put
         self.prefetch_depth = prefetch_depth
         self._epoch = 0
+        if use_native is None:
+            from layoutdit_tpu import native
+
+            use_native = native.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -126,18 +141,47 @@ class DetectionLoader:
         image_ids = np.zeros((b,), np.int64)
         orig_sizes = np.ones((b, 2), np.float32)
         image_valid = np.zeros((b,), bool)
-        for slot, idx in enumerate(idxs):
-            image, target = self.dataset[int(idx)]
-            img, boxes, labels, valid, orig = prepare_example(
-                image, target, s, self.max_gt
+
+        if self.use_native:
+            # C++ fast path: raw bytes -> threaded decode+resize (~100x
+            # the PIL+numpy route on this host)
+            from layoutdit_tpu import native
+
+            img_ids = [self.dataset.ids[int(i)] for i in idxs]
+            bufs = [self.dataset.load_image_bytes(i) for i in img_ids]
+            decoded, origs, fails = native.decode_resize_batch(
+                bufs, s, n_threads=max(1, self.num_workers)
             )
-            images[slot] = img
-            gt_boxes[slot] = boxes
-            gt_labels[slot] = labels
-            gt_valid[slot] = valid
-            image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
-            orig_sizes[slot] = orig
-            image_valid[slot] = True
+            if fails:
+                logger.warning("%d corrupt images in batch (zero-filled)", fails)
+            for slot, img_id in enumerate(img_ids):
+                target = self.dataset.load_target(img_id)
+                _, boxes, labels, valid, _ = prepare_example(
+                    # image content unused for target prep; only dims matter
+                    np.empty((3, int(origs[slot, 0]), int(origs[slot, 1])),
+                             np.float32),
+                    target, s, self.max_gt, skip_image=True,
+                )
+                images[slot] = decoded[slot]
+                gt_boxes[slot] = boxes
+                gt_labels[slot] = labels
+                gt_valid[slot] = valid
+                image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
+                orig_sizes[slot] = origs[slot]
+                image_valid[slot] = True
+        else:
+            for slot, idx in enumerate(idxs):
+                image, target = self.dataset[int(idx)]
+                img, boxes, labels, valid, orig = prepare_example(
+                    image, target, s, self.max_gt
+                )
+                images[slot] = img
+                gt_boxes[slot] = boxes
+                gt_labels[slot] = labels
+                gt_valid[slot] = valid
+                image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
+                orig_sizes[slot] = orig
+                image_valid[slot] = True
         return DetectionBatch(
             images, gt_boxes, gt_labels, gt_valid, image_ids, orig_sizes,
             image_valid,

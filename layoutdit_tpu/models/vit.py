@@ -203,6 +203,28 @@ def _attention(
     return _linear(ctx.reshape(b, n, d), layer["attn_out"])
 
 
+def _pos_embed_for_grid(pos_embed: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """Absolute position embeddings for a (gh, gw) patch grid.
+
+    When the input grid differs from the trained one (high-res document
+    pages), the patch embeddings are bicubically resampled exactly like HF
+    BeitEmbeddings.interpolate_pos_encoding (modeling_beit.py, torch
+    bicubic align_corners=False); the CLS entry passes through unchanged.
+    """
+    from layoutdit_tpu.ops.interpolate import resize_bicubic
+
+    n_pos = pos_embed.shape[0] - 1
+    if n_pos == gh * gw:
+        return pos_embed
+    g0 = int(np.sqrt(n_pos))
+    d = pos_embed.shape[1]
+    cls_pos = pos_embed[:1]
+    patch = pos_embed[1:].reshape(g0, g0, d).transpose(2, 0, 1)
+    patch = resize_bicubic(patch, gh, gw)
+    patch = patch.transpose(1, 2, 0).reshape(gh * gw, d)
+    return jnp.concatenate([cls_pos, patch], axis=0)
+
+
 def _gather_rel_bias(table: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """bias [1, heads, N, N] from table [entries, heads] and index [N, N]."""
     bias = table[index]  # [N, N, heads]
@@ -222,11 +244,14 @@ def vit_forward(
     0 = embedding output, i = output of layer i). Empty taps -> [final].
 
     pixels: [B, C, H, W] float (already normalized). H, W must be multiples
-    of patch_size; position embeddings currently require H == W ==
-    cfg.image_size (the detection pipeline always feeds 224 x 224,
-    model.py:50-52).
+    of patch_size. Absolute position embeddings are bicubically resampled
+    for grids other than the trained one (HF interpolate_pos_encoding
+    parity) — high-res document pages just work; per-layer relative
+    position bias still requires the native grid.
     """
     taps = tuple(taps) or (cfg.num_hidden_layers,)
+    _, _, img_h, img_w = pixels.shape
+    gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     x = patchify(pixels, cfg.patch_size).astype(compute_dtype)
     x = _linear(x, params["patch_embed"])
     b = x.shape[0]
@@ -235,7 +260,9 @@ def vit_forward(
     )
     x = jnp.concatenate([cls, x], axis=1)
     if "pos_embed" in params:
-        x = x + params["pos_embed"].astype(compute_dtype)
+        x = x + _pos_embed_for_grid(params["pos_embed"], gh, gw).astype(
+            compute_dtype
+        )
 
     n = x.shape[1]
     shared_bias = None

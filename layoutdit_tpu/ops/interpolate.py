@@ -76,6 +76,48 @@ def resize_bilinear_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.einsum("...ow,pw->...op", y, a_w)
 
 
+@functools.lru_cache(maxsize=None)
+def interp_matrix_cubic(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] bicubic (Catmull-Rom style, A=-0.75) interpolation matrix,
+    torch align_corners=False semantics (UpSampleBicubic2d): 4 taps per
+    output with indices clamped at the edges."""
+    a = -0.75
+
+    def w(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+        return 0.0
+
+    scale = in_size / out_size
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for d in range(out_size):
+        src = (d + 0.5) * scale - 0.5
+        fl = np.floor(src)
+        t = src - fl
+        for k in range(-1, 3):
+            idx = int(np.clip(fl + k, 0, in_size - 1))
+            m[d, idx] += w(k - t)
+    return m.astype(np.float32)
+
+
+def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Resize [..., H, W] with torch bicubic align_corners=False semantics
+    (used for BEiT position-embedding interpolation at non-native input
+    sizes, HF interpolate_pos_encoding parity)."""
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    a_h = jnp.asarray(interp_matrix_cubic(in_h, out_h), dtype=jnp.float32)
+    a_w = jnp.asarray(interp_matrix_cubic(in_w, out_w), dtype=jnp.float32)
+    y = jnp.einsum("oh,...hw->...ow", a_h, x.astype(jnp.float32))
+    y = jnp.einsum("...ow,pw->...op", y, a_w)
+    return y.astype(dtype)
+
+
 def max_pool_stride2(x: jnp.ndarray) -> jnp.ndarray:
     """kernel=1 stride=2 max pool (= strided slice) on [..., H, W].
 

@@ -112,12 +112,15 @@ def roi_align(
     return pooled_from_weights(feature, wy, wx)
 
 
+@jax.custom_vjp
 def pooled_from_weights(
     feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
 ) -> jnp.ndarray:
     """pooled[k, c, py, px] = (Wy[k] @ F @ Wx[k]^T)[py, c?, px] via two
     MXU contractions (the XLA formulation; also the autodiff fallback for
-    the fused Pallas kernel)."""
+    the fused Pallas kernel). Custom VJP keeps the fat [K, P, C, W]
+    backward intermediate in bf16 (autodiff would run it fp32 — it is the
+    detector's largest gradient stream)."""
     c, h, w = feature.shape
     k, p, _ = wy.shape
     feat = feature
@@ -129,11 +132,10 @@ def pooled_from_weights(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cdtype).reshape(k, p, c, w)
-    # Step 2 — batched GEMM over K (explicit dot_general: einsum lowered
-    # to a broadcast-multiply-reduce and was ~100x slower on TPU).
-    # output in the feature dtype: the pooled tensor [K, C, P, P] is the
-    # single largest intermediate of the detector (bf16 halves its HBM
-    # round-trip; accumulation stays fp32 inside the MXU)
+    # Step 2 — batched GEMM over K (explicit dot_general; einsum and
+    # unrolled multiply-reduce variants both measured slower in-context).
+    # Output in the feature dtype: the pooled tensor is the detector's
+    # largest intermediate.
     s = jax.lax.dot_general(
         t.reshape(k, p * c, w),
         wx.astype(cdtype),  # [K, P, W]
@@ -141,6 +143,45 @@ def pooled_from_weights(
         preferred_element_type=jnp.float32,
     ).astype(cdtype).reshape(k, p, c, p)
     return s.transpose(0, 2, 1, 3)  # [K, C, P, P]
+
+
+def _pooled_fwd(feature, wy, wx):
+    return pooled_from_weights(feature, wy, wx), (feature, wy, wx)
+
+
+def _pooled_bwd(res, ds):
+    """dfeat only (wy/wx derive from stop-gradient'd proposals).
+
+    dT[k, p, c, w] = sum_px dS[k, p, c, px] Wx[k, px, w]   (batched GEMM)
+    dF[c, h, w]    = sum_{k,p} Wy[(k,p), h]^T dT[(k,p), (c,w)]  (one GEMM)
+    """
+    feature, wy, wx = res
+    c, h, w = feature.shape
+    k, p, _ = wy.shape
+    cdtype = feature.dtype
+    ds = ds.transpose(0, 2, 1, 3).astype(cdtype)  # [K, P, C, P(px)]
+    # dt[k, py, c, w] = sum_px ds[k, py, c, px] wx[k, px, w]. NOTE: an
+    # unrolled multiply-add variant is ~1.2x faster in isolation but
+    # measurably SLOWER inside the full jitted train step (XLA fusion
+    # interplay); the batched GEMM wins in-context. Revisit with profiler
+    # traces (round-2 TODO).
+    dt = jax.lax.dot_general(
+        ds.reshape(k, p * c, p),
+        wx.astype(cdtype),  # [K, P(px), W]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(cdtype).reshape(k, p, c, w)  # [K, P, C, W]
+    df = jax.lax.dot_general(
+        wy.reshape(k * p, h).astype(cdtype),
+        dt.reshape(k * p, c * w),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, C*W] (one big MXU GEMM over the (k,p) axis)
+    df = df.reshape(h, c, w).transpose(1, 0, 2).astype(feature.dtype)
+    return df, jnp.zeros_like(wy), jnp.zeros_like(wx)
+
+
+pooled_from_weights.defvjp(_pooled_fwd, _pooled_bwd)
 
 
 def multiscale_roi_align(

@@ -9,6 +9,7 @@ torchvision algorithms (torchvision itself is not installed here).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from layoutdit_tpu.ops.boxes import (
@@ -256,6 +257,25 @@ def test_roi_align_matches_reference(rng):
     want = _roi_align_ref(feat, rois, scale)
     got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), scale))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pooled_from_weights_custom_vjp_matches_autodiff(rng):
+    """The hand-written bf16-friendly backward must equal autodiff of the
+    plain einsum formulation (fp32 here)."""
+    from layoutdit_tpu.ops.roi_align import build_roi_weights, pooled_from_weights
+
+    feat = jnp.asarray(rng.standard_normal((8, 20, 24)).astype(np.float32))
+    rois = np.array([[4.0, 4.0, 40.0, 40.0], [10.0, 2.0, 70.0, 66.0]], np.float32)
+    wy, wx = build_roi_weights(jnp.asarray(rois), 0.25, (20, 24))
+
+    def ref(f):
+        return jnp.einsum("kph,chw,kqw->kcpq", wy, f, wx)
+
+    ct = jnp.asarray(rng.standard_normal((2, 8, 7, 7)).astype(np.float32))
+    g_custom = jax.grad(lambda f: (pooled_from_weights(f, wy, wx) * ct).sum())(feat)
+    g_ref = jax.grad(lambda f: (ref(f) * ct).sum())(feat)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_roi_align_mask_zeroes_invalid(rng):

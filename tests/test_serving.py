@@ -1,0 +1,127 @@
+"""Serving engine + high-res (pos-embed interpolation) tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layoutdit_tpu.config.constructs import DetectionBudget
+from layoutdit_tpu.models.backbone import BackboneConfig
+from layoutdit_tpu.models.detection.detector import DetectorConfig, init_detector_params
+from layoutdit_tpu.models.vit import ViTConfig
+from layoutdit_tpu.ops.interpolate import resize_bicubic
+
+
+def test_bicubic_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((1, 4, 14, 14)).astype(np.float32)
+    for size in [(7, 7), (28, 28), (20, 13)]:
+        want = F.interpolate(
+            torch.from_numpy(x), size=size, mode="bicubic", align_corners=False
+        ).numpy()
+        got = np.asarray(resize_bicubic(jnp.asarray(x), *size))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_pos_embed_interpolation_matches_hf(rng):
+    """Feed a BEiT trained at 32px an input at 64px; HF bicubically
+    interpolates pos embeddings — so do we."""
+    import torch
+    from transformers import BeitConfig, BeitModel
+
+    hf_cfg = BeitConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=16,
+        use_absolute_position_embeddings=True, layer_scale_init_value=0.1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = BeitModel(hf_cfg, add_pooling_layer=False).eval()
+    g = torch.Generator().manual_seed(0)
+    model.load_state_dict({
+        k: torch.randn(v.shape, generator=g) * 0.02 if v.is_floating_point() else v
+        for k, v in model.state_dict().items()
+    })
+
+    from layoutdit_tpu.models.vit import ViTConfig, vit_forward
+    from layoutdit_tpu.models.weights_io import beit_state_dict_to_params
+
+    vit_cfg = ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32,
+        use_absolute_position_embeddings=True, layer_scale_init_value=0.1,
+    )
+    params = beit_state_dict_to_params(model.state_dict(), vit_cfg)
+
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x), output_hidden_states=True
+                     ).hidden_states[2].numpy()
+    got = np.asarray(vit_forward(params, jnp.asarray(x), vit_cfg, taps=[2])[0])
+    assert got.shape == want.shape == (1, 17, 64)  # 4x4 grid + CLS
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    class M:
+        cfg = DetectorConfig(
+            backbone=BackboneConfig(
+                vit=ViTConfig(hidden_size=32, num_hidden_layers=2,
+                              num_attention_heads=2, intermediate_size=64,
+                              image_size=64),
+                fpn_out_channels=32,
+            ),
+            image_size=64,
+            budget=DetectionBudget(
+                rpn_pre_nms_top_n_test=50, rpn_post_nms_top_n_test=50,
+                box_detections_per_img=10,
+            ),
+        )
+        params = init_detector_params(jax.random.PRNGKey(0), cfg)
+
+    return M()
+
+
+def test_serving_buckets_and_padding(tiny_model):
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    engine = BatchInferenceEngine(
+        tiny_model, image_sizes=(64, 128), batch_size=4, score_thresh=0.0
+    )
+    rng = np.random.default_rng(0)
+    # 5 pages of mixed sizes (HWC uint8-style arrays) -> 2 buckets, padding
+    pages = [rng.uniform(0, 255, (60, 50, 3)).astype(np.float32) for _ in range(3)]
+    pages += [rng.uniform(0, 255, (120, 100, 3)).astype(np.float32) for _ in range(2)]
+    results = engine.predict_pages(pages)
+    assert len(results) == 5
+    for (h, w), r in zip([(60, 50)] * 3 + [(120, 100)] * 2, results):
+        assert r.boxes.shape[1] == 4 if len(r.boxes) else True
+        if len(r.boxes):
+            assert r.boxes[:, 2].max() <= w + 1e-3
+            assert r.boxes[:, 3].max() <= h + 1e-3
+    assert set(engine._compiled) == {64, 128}  # both buckets compiled
+
+
+def test_serving_jpeg_input(tiny_model):
+    from PIL import Image
+
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    engine = BatchInferenceEngine(tiny_model, image_sizes=(64,), batch_size=2,
+                                  score_thresh=0.0)
+    rng = np.random.default_rng(1)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (90, 70, 3), np.uint8)).save(
+        buf, format="JPEG"
+    )
+    results = engine.predict_pages([buf.getvalue()])
+    assert len(results) == 1
+    if len(results[0].boxes):
+        assert results[0].boxes[:, 2].max() <= 70 + 1e-3
