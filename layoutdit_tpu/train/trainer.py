@@ -92,6 +92,12 @@ class Trainer:
         )
         logger.info("Device mesh: %s", self.mesh)
 
+        # place params per the mesh: replicated for pure DP, Megatron-style
+        # tensor-parallel over the 'model' axis when model_parallel > 1
+        from layoutdit_tpu.parallel.sharding import shard_params
+
+        self.model.params = shard_params(self.model.params, self.mesh)
+
         self._build_dataloader()
         self._setup_optimizer()
         self._build_train_step()
@@ -119,7 +125,8 @@ class Trainer:
 
     def _setup_optimizer(self):
         self.tx = make_optimizer(self.config.train_config, len(self.dataloader))
-        self.opt_state = self.tx.init(self.model.params)
+        # jit so moment buffers inherit the parameters' shardings
+        self.opt_state = jax.jit(self.tx.init)(self.model.params)
 
     def _build_train_step(self):
         cfg = self.model.cfg
@@ -139,10 +146,12 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, losses
 
+        # params/opt keep their committed (DP-replicated or TP-sharded)
+        # placements; only the batch gets an explicit data-axis sharding.
         self._train_step = jax.jit(
             step,
-            in_shardings=(rep, rep, rep, data, data, data, data),
-            out_shardings=(rep, rep, rep, rep),
+            in_shardings=(None, None, rep, data, data, data, data),
+            out_shardings=(None, None, rep, rep),
             donate_argnums=(0, 1),
         )
 

@@ -1,0 +1,162 @@
+"""Mesh / data-parallel / tensor-parallel tests on the virtual 8-device
+CPU mesh (SURVEY.md §2.3 TPU-native equivalents)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from layoutdit_tpu.config.constructs import DetectionBudget, MeshConfig
+from layoutdit_tpu.models.backbone import BackboneConfig
+from layoutdit_tpu.models.detection.detector import (
+    DetectorConfig,
+    detector_loss,
+    init_detector_params,
+)
+from layoutdit_tpu.models.vit import ViTConfig
+from layoutdit_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh,
+    build_mesh_for_batch,
+)
+from layoutdit_tpu.parallel.sharding import (
+    detector_param_specs,
+    shard_params,
+)
+
+
+def _tiny_cfg():
+    return DetectorConfig(
+        backbone=BackboneConfig(
+            vit=ViTConfig(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=64,
+                          image_size=64),
+            fpn_out_channels=32,
+        ),
+        image_size=64,
+        budget=DetectionBudget(
+            rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=64,
+            rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=64,
+            box_batch_size_per_image=16, box_detections_per_img=8,
+        ),
+    )
+
+
+def _batch(b=8):
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (b, 3, 64, 64)), jnp.float32)
+    gt_boxes = jnp.asarray(
+        np.tile(np.array([[[5, 5, 30, 40], [20, 10, 60, 50]]], np.float32),
+                (b, 1, 1))
+    )
+    gt_labels = jnp.asarray(np.tile([[1, 3]], (b, 1)), jnp.int32)
+    gt_valid = jnp.ones((b, 2), bool)
+    return images, gt_boxes, gt_labels, gt_valid
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh2 = build_mesh_for_batch(MeshConfig(data_parallel=-1), batch_size=6)
+    # 8 devices don't divide batch 6 -> largest divisor of 6 within 8 is 6
+    assert mesh2.shape["data"] == 6
+    mesh3 = build_mesh_for_batch(MeshConfig(data_parallel=-1), batch_size=4)
+    assert mesh3.shape["data"] == 4
+
+
+def test_param_specs_tensor_parallel():
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    specs = detector_param_specs(params, mesh)
+    layer0 = specs["backbone"]["vit"]["layers"][0]
+    assert layer0["q"]["kernel"] == P(None, "model")
+    assert layer0["attn_out"]["kernel"] == P("model", None)
+    assert layer0["mlp_in"]["kernel"] == P(None, "model")
+    assert layer0["mlp_out"]["kernel"] == P("model", None)
+    assert layer0["ln1"]["scale"] == P()
+    assert specs["backbone"]["vit"]["patch_embed"]["kernel"] == P()
+    assert specs["box_head"]["fc6"]["kernel"] == P()
+    # pure DP mesh replicates everything
+    mesh_dp = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    specs_dp = detector_param_specs(params, mesh_dp)
+    assert specs_dp["backbone"]["vit"]["layers"][0]["q"]["kernel"] == P()
+
+
+def test_tensor_parallel_loss_matches_single_device():
+    """TP-sharded params over a 1x4 mesh must reproduce single-device
+    numerics (same rng, fp32)."""
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    images, gt_boxes, gt_labels, gt_valid = _batch(4)
+    rng = jax.random.PRNGKey(7)
+
+    ref = jax.jit(
+        lambda p: sum(
+            detector_loss(p, rng, images, gt_boxes, gt_labels, gt_valid, cfg).values()
+        )
+    )(params)
+
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=4))
+    sharded = shard_params(params, mesh)
+    got = jax.jit(
+        lambda p: sum(
+            detector_loss(p, rng, images, gt_boxes, gt_labels, gt_valid, cfg).values()
+        )
+    )(sharded)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+
+
+def test_dp_tp_train_step_runs_and_keeps_shardings():
+    import optax
+
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    params = shard_params(params, mesh)
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+    data = batch_sharding(mesh)
+
+    def step(p, s, rng, *batch):
+        loss, g = jax.value_and_grad(
+            lambda p: sum(detector_loss(p, rng, *batch, cfg).values())
+        )(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    train = jax.jit(
+        step, in_shardings=(None, None, None, data, data, data, data)
+    )
+    batch = _batch(8)
+    p2, s2, loss = train(params, opt_state, jax.random.PRNGKey(1), *batch)
+    assert np.isfinite(float(loss))
+    q_sharding = p2["backbone"]["vit"]["layers"][0]["q"]["kernel"].sharding
+    assert q_sharding.spec == P(None, "model")
+
+
+def test_trainer_with_tp_mesh(tmp_path):
+    """Trainer end-to-end on a dp=2 x tp=4 mesh (tiny fixture)."""
+    import json
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+    from layoutdit_tpu.train.trainer import Trainer
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+    cfg.mesh_config = MeshConfig(data_parallel=2, model_parallel=4)
+    cfg.detection_model_config.vit_overrides["num_attention_heads"] = 4
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert len(trainer.loss_history) == 1
+        assert np.isfinite(trainer.loss_history[0])
+    finally:
+        set_layout_dit_config(None)
