@@ -20,6 +20,7 @@ from typing import Callable
 import numpy as np
 
 from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.utils.retry import retry_io
 
 logger = get_logger(__name__)
 
@@ -53,13 +54,16 @@ class PubLayNetDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    @retry_io
     def load_image_bytes(self, img_id) -> bytes:
-        """Raw encoded image bytes (consumed by the native C++ decoder)."""
+        """Raw encoded image bytes (consumed by the native C++ decoder).
+        Retries transient storage errors (GCS 5xx etc.)."""
         file_name = self.image_info[img_id]["file_name"]
         img_path = os.path.join(self.images_root_dir, file_name)
         with self.fs_open(img_path, "rb") as f:
             return f.read()
 
+    @retry_io
     def load_image(self, img_id) -> np.ndarray:
         """Decode one image -> [3, H, W] float32 in [0, 1]."""
         from PIL import Image
