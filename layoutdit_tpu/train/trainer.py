@@ -160,7 +160,8 @@ class Trainer:
     def _run_epoch(self, epoch: int) -> float:
         train_cfg = self.config.train_config
         t0 = time.time()
-        total = 0.0
+        losses = []  # device scalars; fetched once at epoch end (a per-step
+        # float() sync costs a full host round trip on remote backends)
         n_steps = 0
         n_images = 0
         key = jax.random.PRNGKey(train_cfg.seed + 1000 + epoch)
@@ -171,11 +172,11 @@ class Trainer:
                     self.model.params, self.opt_state, sub,
                     batch.images, batch.gt_boxes, batch.gt_labels, batch.gt_valid,
                 )
-            total += float(loss)  # host sync once per step; small vs step time
+            losses.append(loss)
             n_steps += 1
             n_images += batch.images.shape[0]
             logger.debug("Finished batch. batch_size=%d", batch.images.shape[0])
-        avg = total / max(1, n_steps)
+        avg = float(jnp.stack(losses).mean()) if losses else 0.0
         dt = time.time() - t0
         self.loss_history.append(avg)
         logger.info(
