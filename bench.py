@@ -23,7 +23,7 @@ os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
 
 # Round-1 recorded value for this metric on a single v5e chip
 # (dit-base, bs16, bf16, full Faster R-CNN train step incl. optimizer).
-BASELINE_BENCH = 79.0  # images/sec/chip
+BASELINE_BENCH = 219.0  # images/sec/chip
 
 
 def main() -> None:

@@ -121,27 +121,26 @@ def pooled_from_weights(
     the fused Pallas kernel). Custom VJP keeps the fat [K, P, C, W]
     backward intermediate in bf16 (autodiff would run it fp32 — it is the
     detector's largest gradient stream)."""
-    c, h, w = feature.shape
-    k, p, _ = wy.shape
     feat = feature
     cdtype = feat.dtype  # bf16 in production: halves the HBM traffic of t
-    # Step 1 — one big MXU matmul: [K*P, H] @ [H, C*W] -> [K, P, C, W]
+    # Multi-dim dot_generals with NO manual reshapes: profiler traces
+    # showed explicit [K*P, C*W] <-> [K, P*C, W] reshapes forcing physical
+    # tiled-layout conversions of the ~800MB `t` stream (~35ms each) —
+    # XLA picks compatible layouts when given the contractions directly.
+    # Step 1: t[k, p, c, w] = sum_h wy[k, p, h] featT[h, c, w]   (MXU)
     t = jax.lax.dot_general(
-        wy.reshape(k * p, h).astype(cdtype),
-        feat.transpose(1, 0, 2).reshape(h, c * w),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        wy.astype(cdtype),
+        feat.transpose(1, 0, 2),  # [H, C, W]
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(cdtype).reshape(k, p, c, w)
-    # Step 2 — batched GEMM over K (explicit dot_general; einsum and
-    # unrolled multiply-reduce variants both measured slower in-context).
-    # Output in the feature dtype: the pooled tensor is the detector's
-    # largest intermediate.
+    ).astype(cdtype)
+    # Step 2: s[k, p, c, px] = sum_w t[k, p, c, w] wx[k, px, w]  (batched)
     s = jax.lax.dot_general(
-        t.reshape(k, p * c, w),
-        wx.astype(cdtype),  # [K, P, W]
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        t,
+        wx.astype(cdtype),  # [K, P(x), W]
+        dimension_numbers=(((3,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(cdtype).reshape(k, p, c, p)
+    ).astype(cdtype)  # [K, P(py), C, P(px)]
     return s.transpose(0, 2, 1, 3)  # [K, C, P, P]
 
 
@@ -156,28 +155,24 @@ def _pooled_bwd(res, ds):
     dF[c, h, w]    = sum_{k,p} Wy[(k,p), h]^T dT[(k,p), (c,w)]  (one GEMM)
     """
     feature, wy, wx = res
-    c, h, w = feature.shape
-    k, p, _ = wy.shape
     cdtype = feature.dtype
     ds = ds.transpose(0, 2, 1, 3).astype(cdtype)  # [K, P, C, P(px)]
-    # dt[k, py, c, w] = sum_px ds[k, py, c, px] wx[k, px, w]. NOTE: an
-    # unrolled multiply-add variant is ~1.2x faster in isolation but
-    # measurably SLOWER inside the full jitted train step (XLA fusion
-    # interplay); the batched GEMM wins in-context. Revisit with profiler
-    # traces (round-2 TODO).
+    # Multi-dim dot_generals, no manual reshapes (see forward).
+    # dt[k, py, c, w] = sum_px ds[k, py, c, px] wx[k, px, w]
     dt = jax.lax.dot_general(
-        ds.reshape(k, p * c, p),
+        ds,
         wx.astype(cdtype),  # [K, P(px), W]
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(cdtype).reshape(k, p, c, w)  # [K, P, C, W]
+    ).astype(cdtype)  # [K, P, C, W]
+    # df[h, c, w] = sum_{k, p} wy[k, p, h] dt[k, p, c, w]  (one big GEMM)
     df = jax.lax.dot_general(
-        wy.reshape(k * p, h).astype(cdtype),
-        dt.reshape(k * p, c * w),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        wy.astype(cdtype),
+        dt,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [H, C*W] (one big MXU GEMM over the (k,p) axis)
-    df = df.reshape(h, c, w).transpose(1, 0, 2).astype(feature.dtype)
+    )  # [H, C, W]
+    df = df.transpose(1, 0, 2).astype(feature.dtype)
     return df, jnp.zeros_like(wy), jnp.zeros_like(wx)
 
 
