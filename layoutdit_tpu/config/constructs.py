@@ -99,6 +99,10 @@ class TrainingConfig(BaseModel):
     seed: int = 0
     # Gradient clipping (0 disables); reference has none.
     grad_clip_norm: float = 0.0
+    # Batches executed per device dispatch (lax.scan inside one jit call).
+    # >1 amortizes host->device dispatch latency — important on remote
+    # backends where each call costs a round trip.
+    steps_per_dispatch: int = 1
 
 
 class EvalConfig(BaseModel):

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec
 
 from layoutdit_tpu.config.constructs import LayoutDitConfig, TrainingConfig
 from layoutdit_tpu.data.dataset import PubLayNetDataset
@@ -155,6 +156,36 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
+        def multi_step(params, opt_state, rng, images, gt_boxes, gt_labels,
+                       gt_valid):
+            """lax.scan over stacked micro-batches: one dispatch for N
+            steps (amortizes per-call host round trips)."""
+
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss, _ = step(
+                    params, opt_state, sub, *xs
+                )
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, rng),
+                (images, gt_boxes, gt_labels, gt_valid),
+            )
+            return params, opt_state, losses
+
+        # stacked batches: [S, B, ...] with B sharded over 'data'
+        sdata = NamedSharding(
+            self.mesh, PartitionSpec(None, self.mesh.axis_names[0])
+        )
+        self._train_multi_step = jax.jit(
+            multi_step,
+            in_shardings=(None, None, rep, sdata, sdata, sdata, sdata),
+            out_shardings=(None, None, rep),
+            donate_argnums=(0, 1),
+        )
+
     # ------------------------------------------------------------- loops
 
     def _run_epoch(self, epoch: int) -> float:
@@ -165,18 +196,22 @@ class Trainer:
         n_steps = 0
         n_images = 0
         key = jax.random.PRNGKey(train_cfg.seed + 1000 + epoch)
+        spd = max(1, train_cfg.steps_per_dispatch)
+        pending = []
         for batch in self.dataloader:
-            key, sub = jax.random.split(key)
-            with jax.profiler.StepTraceAnnotation("train_step", step_num=n_steps):
-                self.model.params, self.opt_state, loss, _ = self._train_step(
-                    self.model.params, self.opt_state, sub,
-                    batch.images, batch.gt_boxes, batch.gt_labels, batch.gt_valid,
-                )
-            losses.append(loss)
+            pending.append(batch)
             n_steps += 1
             n_images += batch.images.shape[0]
-            logger.debug("Finished batch. batch_size=%d", batch.images.shape[0])
-        avg = float(jnp.stack(losses).mean()) if losses else 0.0
+            if len(pending) < spd:
+                continue
+            key, sub = jax.random.split(key)
+            losses.append(self._dispatch(pending, sub, n_steps))
+            pending = []
+        for batch in pending:  # epoch remainder: single-step dispatches
+            key, sub = jax.random.split(key)
+            losses.append(self._dispatch([batch], sub, n_steps))
+        avg = float(jnp.concatenate([jnp.atleast_1d(l) for l in losses]).mean()) \
+            if losses else 0.0
         dt = time.time() - t0
         self.loss_history.append(avg)
         logger.info(
@@ -184,6 +219,26 @@ class Trainer:
             epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),
         )
         return avg
+
+    def _dispatch(self, batches: list, rng, step_num: int):
+        """Run 1..N training steps in one device call; returns device
+        loss scalar(s)."""
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=step_num):
+            if len(batches) == 1:
+                b = batches[0]
+                self.model.params, self.opt_state, loss, _ = self._train_step(
+                    self.model.params, self.opt_state, rng,
+                    b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                )
+                return loss
+            stacked = [
+                np.stack([getattr(b, f) for b in batches])
+                for f in ("images", "gt_boxes", "gt_labels", "gt_valid")
+            ]
+            self.model.params, self.opt_state, losses = self._train_multi_step(
+                self.model.params, self.opt_state, rng, *stacked
+            )
+            return losses
 
     def train(self):
         train_cfg = self.config.train_config

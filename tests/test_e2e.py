@@ -64,6 +64,26 @@ def test_full_pipeline(fixture_dir):
         set_layout_dit_config(None)
 
 
+@pytest.mark.slow
+def test_multi_step_dispatch(fixture_dir):
+    """steps_per_dispatch > 1: scan over stacked micro-batches in one
+    device call (amortizes dispatch latency on remote backends)."""
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture_dir, "cfg.json"))))
+    cfg.train_config.steps_per_dispatch = 2
+    set_layout_dit_config(cfg)
+    try:
+        from layoutdit_tpu.models.model import build_model
+        from layoutdit_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()  # 8 imgs / bs4 -> 2 steps -> one multi-dispatch
+        assert len(trainer.loss_history) == 1
+        assert np.isfinite(trainer.loss_history[0])
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
