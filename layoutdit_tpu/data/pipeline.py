@@ -153,8 +153,15 @@ class DetectionLoader:
                 bufs, s, n_threads=max(1, self.num_workers)
             )
             if fails:
-                logger.warning("%d corrupt images in batch (zero-filled)", fails)
+                logger.warning(
+                    "%d corrupt images in batch (slots invalidated)", fails
+                )
             for slot, img_id in enumerate(img_ids):
+                if origs[slot, 0] < 1.0:  # decode failure marker (0, 0):
+                    # leave the slot image_valid=False / gt_valid=all-False
+                    # so the blank image never enters the loss with
+                    # garbage-scaled boxes.
+                    continue
                 target = self.dataset.load_target(img_id)
                 _, boxes, labels, valid, _ = prepare_example(
                     # image content unused for target prep; only dims matter

@@ -81,9 +81,11 @@ class CocoEvaluator:
             [
                 bool(g.get("iscrowd", 0))
                 or not (
+                    # pycocotools gates with INCLUSIVE bounds (ignore only
+                    # when area < lo or area > hi)
                     area_rng[0]
                     <= g.get("area", g["bbox"][2] * g["bbox"][3])
-                    < area_rng[1]
+                    <= area_rng[1]
                 )
                 for g in gt
             ],
@@ -129,7 +131,7 @@ class CocoEvaluator:
         # unmatched dets outside the area range are ignored
         d_out = np.array(
             [
-                not (area_rng[0] <= d["bbox"][2] * d["bbox"][3] < area_rng[1])
+                not (area_rng[0] <= d["bbox"][2] * d["bbox"][3] <= area_rng[1])
                 for d in dt
             ],
             bool,

@@ -130,7 +130,7 @@ def postprocess_detections_single(
     prop_valid: jnp.ndarray,  # [P]
     image_size: tuple[int, int],
     budget: DetectionBudget,
-    pre_nms_candidates: int = 1000,
+    pre_nms_candidates: int | None = None,
 ) -> Detections:
     """torchvision RoIHeads.postprocess_detections for one image."""
     p, nc_bg = class_logits.shape
@@ -155,9 +155,11 @@ def postprocess_detections_single(
         & small_box_mask(boxes, 1e-2)
     )
 
-    # static pre-NMS cap (sorted by score; negligible divergence unless
-    # >pre_nms_candidates survive the score threshold)
-    k = min(pre_nms_candidates, p * nc)
+    # torchvision runs NMS on ALL score-threshold survivors (up to P*NC);
+    # default to that so the static cap can never drop candidates the
+    # reference would have kept (an explicit lower cap stays available
+    # as a serving-time knob).
+    k = p * nc if pre_nms_candidates is None else min(pre_nms_candidates, p * nc)
     cand_scores = jnp.where(valid, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(cand_scores, k)
     boxes, labels = boxes[top_idx], labels[top_idx]

@@ -142,12 +142,12 @@ def match_anchors_to_gt(
         jnp.where(matched_vals < low_thresh, 0, -1),
     )
     if allow_low_quality:
-        # every anchor that ties a gt's best IoU becomes positive
-        # (keeps its argmax match, as torchvision does)
+        # torchvision Matcher.set_low_quality_matches_: every anchor that
+        # ties a gt's best IoU has its (argmax) match restored — i.e. it
+        # becomes positive — with NO >0 guard: a gt whose best IoU is 0
+        # marks every zero-IoU anchor positive, exactly as torchvision does.
         highest_per_gt = iou.max(axis=1)  # [G]
-        ties = (iou == highest_per_gt[:, None]) & gt_valid[:, None] & (
-            highest_per_gt[:, None] > 0
-        )
+        ties = (iou == highest_per_gt[:, None]) & gt_valid[:, None]
         low_quality = ties.any(axis=0)
         labels = jnp.where(low_quality, 1, labels)
     # no valid gt at all -> everything background

@@ -8,6 +8,7 @@ check ``available()`` and use the PIL path otherwise.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,17 +21,26 @@ logger = get_logger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "loader.cc")
-_SO = os.path.join(_HERE, "_native_loader.so")
 
 _lib = None
 _lock = threading.Lock()
 _build_failed = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Cache keyed on SOURCE CONTENT, not mtime: binaries are never
+    committed (they are host-specific, built with -march=native), and a
+    fresh checkout can give source and a stale artifact identical
+    timestamps."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_native_loader_{digest}.so")
+
+
+def _build(so: str) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _SO, _SRC, "-ljpeg", "-pthread",
+        "-o", so, _SRC, "-ljpeg", "-pthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -45,12 +55,13 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
                 _build_failed = True
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError as e:
             logger.warning("native loader load failed: %s", e)
             _build_failed = True
@@ -79,7 +90,8 @@ def decode_resize_batch(
     """Decode + resize a batch of JPEGs in C++ threads.
 
     Returns (images [N, 3, S, S] float32 in [0,1], orig_sizes [N, 2]
-    (h, w) float32, n_failures). Failed decodes produce zero images.
+    (h, w) float32, n_failures). Failed decodes produce zero images with
+    orig_sizes == (0, 0) so callers can invalidate those slots.
     """
     lib = _load()
     if lib is None:

@@ -139,7 +139,9 @@ int ld_decode_resize(const uint8_t* jpeg, long len, int out_size, float* out,
 
 // Batched, thread-pooled variant. bufs: n pointers; lens: n lengths;
 // out: [n, 3, out_size, out_size]; orig_hw: [n, 2]. Returns number of
-// decode failures (their slots are zero-filled).
+// decode failures. Failed slots are zero-filled and marked with
+// orig_hw = (0, 0) (impossible for a real decode, where height/width
+// are always >= 1) so callers can invalidate those slots per-example.
 int ld_decode_resize_batch(const uint8_t** bufs, const long* lens, int n,
                            int out_size, float* out, float* orig_hw,
                            int n_threads) {
@@ -153,8 +155,8 @@ int ld_decode_resize_batch(const uint8_t** bufs, const long* lens, int n,
       if (ld_decode_resize(bufs[i], lens[i], out_size, dst,
                            orig_hw + 2 * i) != 0) {
         std::memset(dst, 0, img_elems * sizeof(float));
-        orig_hw[2 * i] = 1.0f;
-        orig_hw[2 * i + 1] = 1.0f;
+        orig_hw[2 * i] = 0.0f;
+        orig_hw[2 * i + 1] = 0.0f;
         failures.fetch_add(1);
       }
     }

@@ -19,6 +19,13 @@ os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite re-jits many tiny detectors; caching
+# across runs (and across test modules in one run) cuts wall time several-fold.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
