@@ -23,8 +23,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from layoutdit_tpu.ops.boxes import box_iou
-
 TILE = 128
 
 
@@ -88,8 +86,31 @@ def nms_mask(
         scores = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-scores, stable=True)
     n_pad = (n + TILE - 1) // TILE * TILE
-    boxes_s = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
+    boxes_s = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
+        boxes[order].astype(jnp.float32)
+    )
     valid_s = jnp.zeros((n_pad,), bool).at[:n].set(jnp.isfinite(scores[order]))
+
+    # The O(N^2) IoU work happens ONCE, up front, as a single perfectly
+    # tiled [nt*T, nt*T] elementwise pass (full (T, T) = (128, 128) lane
+    # tiles — no per-iteration re-slicing / relayout of coordinates).
+    # The sequential tile loop then only ANDs/reduces precomputed bools.
+    # The threshold test is division-free: iou > t <=> inter > t * union
+    # (union >= 0, and 0 > 0 is false for degenerate pairs, matching the
+    # guarded-division semantics).
+    x1, y1, x2, y2 = (boxes_s[:, i] for i in range(4))
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    thr = jnp.float32(iou_threshold)
+
+    iw = jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(
+        x1[:, None], x1[None, :]
+    )
+    ih = jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(
+        y1[:, None], y1[None, :]
+    )
+    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+    union = area[:, None] + area[None, :] - inter
+    overlap_all = inter > thr * union  # [N_pad, N_pad] bool
 
     num_tiles = n_pad // TILE
     tri = jnp.triu(jnp.ones((TILE, TILE), bool), k=1)
@@ -97,15 +118,18 @@ def nms_mask(
 
     def tile_step(i, keep):
         start = i * TILE
-        tile_boxes = jax.lax.dynamic_slice_in_dim(boxes_s, start, TILE)
+        cross = jax.lax.dynamic_slice(
+            overlap_all, (0, start), (n_pad, TILE)
+        )  # [N_pad, T] — suppression OF this tile BY any earlier box
         tile_valid = jax.lax.dynamic_slice_in_dim(valid_s, start, TILE)
-        # suppression by kept boxes from earlier tiles (vectorized)
-        cross = box_iou(boxes_s, tile_boxes) > iou_threshold  # [N_pad, T]
         earlier_kept = keep & (positions < start)
         dead_prev = jnp.any(cross & earlier_kept[:, None], axis=0)
         alive = tile_valid & ~dead_prev
         # exact greedy within the tile
-        overlap = (box_iou(tile_boxes, tile_boxes) > iou_threshold) & tri
+        overlap = (
+            jax.lax.dynamic_slice(overlap_all, (start, start), (TILE, TILE))
+            & tri
+        )
         kept_tile = _within_tile_greedy(overlap, alive)
         return jax.lax.dynamic_update_slice_in_dim(keep, kept_tile, start, 0)
 
