@@ -152,7 +152,14 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
         "rpn_head": init_rpn_head_params(
             k_rpn, cfg.backbone.fpn_out_channels, cfg.num_anchors_per_cell
         ),
-        "box_head": init_box_head_params(k_head, in_features, rep),
+        "box_head": init_box_head_params(
+            k_head, in_features, rep,
+            pooled_shape=(
+                cfg.backbone.fpn_out_channels,
+                cfg.roi_output_size,
+                cfg.roi_output_size,
+            ),
+        ),
         "box_predictor": init_predictor_params(k_pred, rep, cfg.num_classes + 1),
     }
 
@@ -207,7 +214,10 @@ def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
             canonical_scale=float(cfg.image_size),
             roi_mask=valid_i,
             impl=cfg.roi_impl,
+            native_layout=cfg.roi_impl == "xla",
         )
+        if cfg.roi_impl != "xla":  # [K, C, Py, Px] -> native [K, Py, C, Px]
+            pooled = pooled.transpose(0, 2, 1, 3)
         rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
         return predictor_forward(params["box_predictor"], rep)
 

@@ -97,18 +97,45 @@ def rpn_head_forward(
 # ------------------------------------------------------------ box head/pred
 
 
-def init_box_head_params(key: jax.Array, in_features: int, rep_size: int = 1024) -> dict:
+def init_box_head_params(
+    key: jax.Array,
+    in_features: int,
+    rep_size: int = 1024,
+    pooled_shape: tuple[int, int, int] | None = None,
+) -> dict:
+    """TwoMLPHead params. With ``pooled_shape=(C, P, P)`` the fc6 kernel is
+    stored in the RoIAlign contraction-native layout [P, C, P, rep] so the
+    box head can contract the pooled 4D tensor directly (no flatten /
+    relayout of the [K, 12544] activation stream). A torchvision
+    state_dict import must permute fc6 rows (c, py, px) -> (py, c, px)
+    to match (see weights_io notes)."""
     k1, k2 = jax.random.split(key)
-    return {
-        "fc6": _torch_linear(k1, in_features, rep_size),
-        "fc7": _torch_linear(k2, rep_size, rep_size),
-    }
+    fc6 = _torch_linear(k1, in_features, rep_size)
+    if pooled_shape is not None:
+        c, p1, p2 = pooled_shape
+        fc6["kernel"] = (
+            fc6["kernel"].reshape(c, p1, p2, rep_size).transpose(1, 0, 2, 3)
+        )  # [P(y), C, P(x), rep]
+    return {"fc6": fc6, "fc7": _torch_linear(k2, rep_size, rep_size)}
 
 
 def box_head_forward(params: dict, pooled: jnp.ndarray) -> jnp.ndarray:
-    """[K, C, S, S] pooled RoIs -> [K, rep] (TwoMLPHead)."""
-    x = pooled.reshape(pooled.shape[0], -1)
-    x = jax.nn.relu(linear(x, params["fc6"]))
+    """Pooled RoIs -> [K, rep] (TwoMLPHead).
+
+    pooled is [K, P, C, P] (RoIAlign native layout) when fc6's kernel is
+    4D [P, C, P, rep] — contracted directly with no flatten; or the
+    legacy flattened path when fc6 is 2D."""
+    fc6 = params["fc6"]
+    if fc6["kernel"].ndim == 4:
+        y = jax.lax.dot_general(
+            pooled,
+            fc6["kernel"].astype(pooled.dtype),
+            dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = jax.nn.relu((y + fc6["bias"]).astype(pooled.dtype))
+    else:
+        x = jax.nn.relu(linear(pooled.reshape(pooled.shape[0], -1), fc6))
     return jax.nn.relu(linear(x, params["fc7"]))
 
 

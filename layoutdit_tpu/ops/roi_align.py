@@ -113,14 +113,15 @@ def roi_align(
 
 
 @jax.custom_vjp
-def pooled_from_weights(
+def pooled_from_weights_native(
     feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
 ) -> jnp.ndarray:
-    """pooled[k, c, py, px] = (Wy[k] @ F @ Wx[k]^T)[py, c?, px] via two
-    MXU contractions (the XLA formulation; also the autodiff fallback for
-    the fused Pallas kernel). Custom VJP keeps the fat [K, P, C, W]
-    backward intermediate in bf16 (autodiff would run it fp32 — it is the
-    detector's largest gradient stream)."""
+    """pooled[k, py, c, px] = (Wy[k] @ F @ Wx[k]^T) via two MXU
+    contractions, in the contraction-NATIVE layout (no trailing
+    transpose — the box head contracts this 4D tensor directly, see
+    heads.box_head_forward). Custom VJP keeps the fat [K, P, C, W]
+    backward intermediate in bf16 (autodiff would run it fp32 — it is
+    the detector's largest gradient stream)."""
     feat = feature
     cdtype = feat.dtype  # bf16 in production: halves the HBM traffic of t
     # Multi-dim dot_generals with NO manual reshapes: profiler traces
@@ -141,11 +142,11 @@ def pooled_from_weights(
         dimension_numbers=(((3,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(cdtype)  # [K, P(py), C, P(px)]
-    return s.transpose(0, 2, 1, 3)  # [K, C, P, P]
+    return s
 
 
 def _pooled_fwd(feature, wy, wx):
-    return pooled_from_weights(feature, wy, wx), (feature, wy, wx)
+    return pooled_from_weights_native(feature, wy, wx), (feature, wy, wx)
 
 
 def _pooled_bwd(res, ds):
@@ -156,7 +157,7 @@ def _pooled_bwd(res, ds):
     """
     feature, wy, wx = res
     cdtype = feature.dtype
-    ds = ds.transpose(0, 2, 1, 3).astype(cdtype)  # [K, P, C, P(px)]
+    ds = ds.astype(cdtype)  # [K, P, C, P(px)] — already contraction-native
     # Multi-dim dot_generals, no manual reshapes (see forward).
     # dt[k, py, c, w] = sum_px ds[k, py, c, px] wx[k, px, w]
     dt = jax.lax.dot_general(
@@ -176,7 +177,14 @@ def _pooled_bwd(res, ds):
     return df, jnp.zeros_like(wy), jnp.zeros_like(wx)
 
 
-pooled_from_weights.defvjp(_pooled_fwd, _pooled_bwd)
+pooled_from_weights_native.defvjp(_pooled_fwd, _pooled_bwd)
+
+
+def pooled_from_weights(
+    feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
+) -> jnp.ndarray:
+    """torchvision-layout wrapper: [K, C, py, px]."""
+    return pooled_from_weights_native(feature, wy, wx).transpose(0, 2, 1, 3)
 
 
 def multiscale_roi_align(
@@ -189,6 +197,7 @@ def multiscale_roi_align(
     canonical_level: int = 4,
     roi_mask: jnp.ndarray | None = None,
     impl: str = "xla",
+    native_layout: bool = False,
 ) -> jnp.ndarray:
     """torchvision MultiScaleRoIAlign over FPN levels (model.py:34-38).
 
@@ -209,7 +218,9 @@ def multiscale_roi_align(
     ~2x less HBM traffic (a single [K, P, C, W_max] intermediate instead
     of one per level) and a near-128 contraction dim for the MXU.
 
-    Returns: [K, C, output_size, output_size].
+    Returns: [K, C, output_size, output_size], or [K, P(y), C, P(x)] when
+    ``native_layout=True`` (the contraction-native layout the box head
+    consumes directly — saves two full relayouts of the pooled stream).
     """
     num_levels = len(features)
     lvl_min = canonical_level - 2  # e.g. 2 for p2..p6
@@ -282,4 +293,6 @@ def multiscale_roi_align(
         wx = jnp.pad(wx, ((0, 0), (0, 0), (0, w_max - wx.shape[-1])))
         wx_cat = wx if wx_cat is None else wx_cat + wx
     wy_cat = jnp.concatenate(wy_parts, axis=-1)  # [K, P, sum(H_l)]
+    if native_layout:
+        return pooled_from_weights_native(f_cat, wy_cat, wx_cat)
     return pooled_from_weights(f_cat, wy_cat, wx_cat)
