@@ -1,4 +1,4 @@
-"""COCO-style bbox mAP evaluation in pure numpy.
+"""COCO-style bbox mAP evaluation in pure numpy, vectorized.
 
 The reference scores with pycocotools' COCOeval (evaluator.py:266-286);
 that Cython package is not available here, so this is a faithful
@@ -7,6 +7,24 @@ over 10 IoU thresholds (0.50:0.05:0.95), ignore handling for crowd /
 area-range, 101-point interpolated precision, and the standard 12-metric
 summary. Offline host-side scoring — not on the TPU hot path (SURVEY.md
 §2.2).
+
+pycocotools is Cython-fast; this must be numpy-fast to score the 11k-image
+PubLayNet val split on a small host, so the hot loops are vectorized:
+
+  * the IoU matrix per (image, category) is computed ONCE and reused across
+    all four area ranges (only the ignore flags depend on the range),
+  * the greedy match runs one short python loop over detections; for each
+    detection all 10 IoU thresholds and all gt boxes are resolved in a
+    handful of [T, G] numpy ops (exact pycocotools semantics incl. the
+    last-max tie rule and the non-ignored-before-ignored break),
+  * (image, category) pairs with no gt and no detections are skipped
+    outright (pycocotools' evaluateImg returns None for those),
+  * accumulate's precision envelope is a reversed cummax and the 101-point
+    sampling a searchsorted, both over all thresholds at once.
+
+The scalar transcription of COCOeval.evaluateImg is kept as
+``_match_img_ref`` purely as a differential-test oracle
+(tests/test_coco_eval.py).
 
 Returns the same 12 keys the reference's Evaluator.score() returns
 (evaluator.py:272-286).
@@ -54,6 +72,25 @@ def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return np.where(union > 0, inter / union, 0.0)
 
 
+class _Pair:
+    """Sorted detections + gt metadata + IoU matrix for one (image, cat),
+    shared across the four area ranges."""
+
+    __slots__ = ("ious", "scores", "d_areas", "g_areas", "iscrowd")
+
+    def __init__(self, gt: list, dt: list, max_det: int):
+        d_order = np.argsort([-d["score"] for d in dt], kind="stable")[:max_det]
+        d_boxes = np.array([dt[i]["bbox"] for i in d_order], float).reshape(-1, 4)
+        self.scores = np.array([dt[i]["score"] for i in d_order], float)
+        self.d_areas = d_boxes[:, 2] * d_boxes[:, 3]
+        g_boxes = np.array([g["bbox"] for g in gt], float).reshape(-1, 4)
+        self.g_areas = np.array(
+            [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gt], float
+        )
+        self.iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gt], bool)
+        self.ious = _iou_xywh(d_boxes, g_boxes, self.iscrowd.astype(int))
+
+
 class CocoEvaluator:
     """Evaluate COCO-format predictions against COCO-format ground truth.
 
@@ -75,8 +112,109 @@ class CocoEvaluator:
     # ------------------------------------------------------------ matching
 
     @staticmethod
-    def _match_img(gt: list, dt: list, area_rng, max_det: int) -> dict:
-        """COCOeval.evaluateImg: greedy matching at every IoU threshold."""
+    def _match_pairs(pairs: list[_Pair], area_rng) -> list[dict]:
+        """COCOeval.evaluateImg for many prepared (image, cat) pairs at one
+        area range. Pairs are bucketed by padded (D, G) size and the greedy
+        match runs ONE python loop over detection rank, with all pairs, all
+        10 IoU thresholds and all gt resolved in vectorized [P, T, G] ops —
+        exact pycocotools semantics incl. the last-max tie rule and the
+        non-ignored-before-ignored break."""
+        lo, hi = area_rng
+        t_n = len(IOU_THRS)
+        thr = np.minimum(IOU_THRS, 1 - 1e-10)  # [T]
+        results: list[dict | None] = [None] * len(pairs)
+
+        def n_gt_of(pair):
+            ig = pair.iscrowd | (pair.g_areas < lo) | (pair.g_areas > hi)
+            return int((~ig).sum())
+
+        def pow2(n):
+            return 1 << (n - 1).bit_length()
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, pair in enumerate(pairs):
+            d_n, g_n = pair.ious.shape
+            if d_n == 0 or g_n == 0:
+                d_out = (pair.d_areas < lo) | (pair.d_areas > hi)
+                results[i] = {
+                    "dtm": np.zeros((t_n, d_n), np.int64),
+                    "dt_ig": np.broadcast_to(d_out[None, :], (t_n, d_n)),
+                    "scores": pair.scores,
+                    "n_gt": n_gt_of(pair),
+                }
+                continue
+            buckets.setdefault((pow2(d_n), pow2(g_n)), []).append(i)
+
+        for idxs in buckets.values():
+            p_n = len(idxs)
+            d_max = max(pairs[i].ious.shape[0] for i in idxs)
+            g_max = max(pairs[i].ious.shape[1] for i in idxs)
+            # padding: iou -1 never reaches a threshold; padded gt marked
+            # ignored so they can't be preferred, padded det rows are
+            # sliced away per pair below
+            ious = np.full((p_n, d_max, g_max), -1.0)
+            gt_ignore = np.ones((p_n, g_max), bool)
+            iscrowd = np.zeros((p_n, g_max), bool)
+            for j, i in enumerate(idxs):
+                pair = pairs[i]
+                g_n = pair.ious.shape[1]
+                ig_orig = (
+                    pair.iscrowd | (pair.g_areas < lo) | (pair.g_areas > hi)
+                )
+                # non-ignored gt first (stable), as COCOeval sorts by _ignore
+                g_order = np.argsort(ig_orig, kind="stable")
+                gt_ignore[j, :g_n] = ig_orig[g_order]
+                iscrowd[j, :g_n] = pair.iscrowd[g_order]
+                ious[j, : pair.ious.shape[0], :g_n] = pair.ious[:, g_order]
+
+            non_ig = ~gt_ignore  # [P, G]
+            gtm = np.zeros((p_n, t_n, g_max), np.int64)
+            dtm = np.zeros((p_n, t_n, d_max), np.int64)
+            dt_ig = np.zeros((p_n, t_n, d_max), bool)
+            for di in range(d_max):
+                row = ious[:, None, di, :]  # [P, 1, G]
+                # crowd gt may match many dets; others only while unmatched
+                cand = np.where((gtm == 0) | iscrowd[:, None, :], row, -1.0)
+                # Greedy scan semantics (COCOeval.evaluateImg): running max
+                # starting at the threshold, later gt wins ties, and the
+                # scan breaks at the first ignored gt once a non-ignored
+                # match exists — i.e. prefer the best qualifying
+                # non-ignored gt; only if none qualifies, the best ignored.
+                c_ni = np.where(non_ig[:, None, :], cand, -1.0)
+                c_ig = np.where(non_ig[:, None, :], -1.0, cand)
+                # index of the LAST maximum (ties go to the later gt)
+                m_ni = g_max - 1 - np.argmax(c_ni[:, :, ::-1], axis=2)
+                m_ig = g_max - 1 - np.argmax(c_ig[:, :, ::-1], axis=2)
+                ok_ni = c_ni.max(axis=2) >= thr[None, :]
+                ok_ig = c_ig.max(axis=2) >= thr[None, :]
+                matched = ok_ni | ok_ig  # [P, T]
+                m_safe = np.where(matched, np.where(ok_ni, m_ni, m_ig), 0)
+                dtm[:, :, di] = np.where(matched, m_safe + 1, 0)
+                dt_ig[:, :, di] = matched & np.take_along_axis(
+                    gt_ignore, m_safe, axis=1
+                )
+                pi, ti = np.nonzero(matched)
+                gtm[pi, ti, m_safe[pi, ti]] = di + 1
+
+            for j, i in enumerate(idxs):
+                pair = pairs[i]
+                d_n = pair.ious.shape[0]
+                # unmatched dets outside the area range are ignored
+                d_out = (pair.d_areas < lo) | (pair.d_areas > hi)
+                dtm_p = dtm[j, :, :d_n]
+                results[i] = {
+                    "dtm": dtm_p,
+                    "dt_ig": dt_ig[j, :, :d_n] | ((dtm_p == 0) & d_out[None, :]),
+                    "scores": pair.scores,
+                    "n_gt": n_gt_of(pair),
+                }
+        return results
+
+    @staticmethod
+    def _match_img_ref(gt: list, dt: list, area_rng, max_det: int) -> dict:
+        """Scalar transcription of COCOeval.evaluateImg — the
+        differential-test oracle for ``_match_pair`` (not used in
+        production scoring)."""
         gt_ignore = np.array(
             [
                 bool(g.get("iscrowd", 0))
@@ -151,8 +289,13 @@ class CocoEvaluator:
         npig = sum(e["n_gt"] for e in per_img)
         if npig == 0:
             return None
-        dtm = np.concatenate([e["dtm"][:, :max_det] for e in per_img], axis=1)
-        dt_ig = np.concatenate([e["dt_ig"][:, :max_det] for e in per_img], axis=1)
+        t_n, r_n = len(IOU_THRS), len(REC_THRS)
+        dtm = np.concatenate(
+            [e["dtm"][:, :max_det] for e in per_img], axis=1
+        )
+        dt_ig = np.concatenate(
+            [e["dt_ig"][:, :max_det] for e in per_img], axis=1
+        )
         scores = np.concatenate([e["scores"][:max_det] for e in per_img])
         order = np.argsort(-scores, kind="mergesort")
         dtm, dt_ig = dtm[:, order], dt_ig[:, order]
@@ -162,25 +305,19 @@ class CocoEvaluator:
         tp_sum = np.cumsum(tps, axis=1).astype(float)
         fp_sum = np.cumsum(fps, axis=1).astype(float)
 
-        t_n, r_n = len(IOU_THRS), len(REC_THRS)
+        if tp_sum.shape[1] == 0:
+            return np.zeros((t_n, r_n)), np.zeros((t_n,))
+
+        rc = tp_sum / npig
+        pr = tp_sum / np.maximum(tp_sum + fp_sum, np.spacing(1))
+        rec_out = rc[:, -1]
+        # precision envelope (monotone non-increasing from the right)
+        pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
         prec_out = np.zeros((t_n, r_n))
-        rec_out = np.zeros((t_n,))
         for ti in range(t_n):
-            tp, fp = tp_sum[ti], fp_sum[ti]
-            rc = tp / npig
-            pr = tp / np.maximum(tp + fp, np.spacing(1))
-            rec_out[ti] = rc[-1] if len(rc) else 0.0
-            # precision envelope (monotone non-increasing from the right)
-            pr = pr.tolist()
-            for i in range(len(pr) - 1, 0, -1):
-                if pr[i] > pr[i - 1]:
-                    pr[i - 1] = pr[i]
-            inds = np.searchsorted(rc, REC_THRS, side="left")
-            q = np.zeros(r_n)
-            for ri, pi in enumerate(inds):
-                if pi < len(pr):
-                    q[ri] = pr[pi]
-            prec_out[ti] = q
+            inds = np.searchsorted(rc[ti], REC_THRS, side="left")
+            ok = inds < pr.shape[1]
+            prec_out[ti, ok] = pr[ti, inds[ok]]
         return prec_out, rec_out
 
     # ----------------------------------------------------------- interface
@@ -202,14 +339,16 @@ class CocoEvaluator:
         recall = -np.ones((t_n, len(self.cat_ids), len(a_names), len(MAX_DETS)))
 
         for ci, cat in enumerate(self.cat_ids):
+            # prepare each (image, cat) once — IoU is area-independent;
+            # empty pairs contribute nothing to any accumulation
+            pairs = []
+            for img in self.img_ids:
+                gt_l, dt_l = self._gt[(img, cat)], dt[(img, cat)]
+                if gt_l or dt_l:
+                    pairs.append(_Pair(gt_l, dt_l, max(MAX_DETS)))
             for ai, a_name in enumerate(a_names):
                 rng = AREA_RNGS[a_name]
-                per_img = [
-                    self._match_img(
-                        self._gt[(img, cat)], dt[(img, cat)], rng, max(MAX_DETS)
-                    )
-                    for img in self.img_ids
-                ]
+                per_img = self._match_pairs(pairs, rng)
                 for di, max_det in enumerate(MAX_DETS):
                     stats = self._accumulate(per_img, max_det)
                     if stats is None:

@@ -117,3 +117,86 @@ def test_crowd_gt_ignored():
     m = CocoEvaluator(_coco(anns, cats=(1,))).evaluate(preds)
     # crowd match is ignored (neither TP nor FP); real gt matched -> AP 1
     assert m["AP50"] == 1.0
+
+
+def _random_case(rng, n_gt, n_dt, crowd_p=0.15):
+    """Random boxes clustered so overlaps (incl. exact ties) are common."""
+    def boxes(n):
+        xy = rng.integers(0, 6, (n, 2)) * 10.0
+        wh = rng.integers(1, 5, (n, 2)) * 10.0
+        return np.concatenate([xy, wh], axis=1)
+
+    gt = [
+        {"id": i + 1, "bbox": list(b), "area": b[2] * b[3],
+         "iscrowd": int(rng.uniform() < crowd_p)}
+        for i, b in enumerate(boxes(n_gt))
+    ]
+    # quantized scores force duplicate-score ties through the stable sorts
+    dt = [
+        {"bbox": list(b), "score": round(float(rng.uniform()), 1)}
+        for b in boxes(n_dt)
+    ]
+    return gt, dt
+
+
+def test_vectorized_match_equals_scalar_oracle():
+    """_match_pairs (production, batched+vectorized) vs _match_img_ref
+    (literal COCOeval.evaluateImg transcription) on randomized adversarial
+    cases: crowds, ignored-area gt, score ties, duplicate boxes, empty
+    sides, mixed bucket sizes in one batch."""
+    from layoutdit_tpu.eval.coco_eval import AREA_RNGS, _Pair
+
+    rng = np.random.default_rng(0)
+    shapes = [(0, 5), (5, 0), (1, 1), (4, 8), (12, 25), (30, 130), (0, 0)]
+    cases = [_random_case(rng, n_gt, n_dt)
+             for n_gt, n_dt in shapes for _ in range(8)]
+    pairs = [_Pair(gt, dt, max_det=100) for gt, dt in cases]
+    for rng_name, area_rng in AREA_RNGS.items():
+        got_all = CocoEvaluator._match_pairs(pairs, area_rng)
+        for (gt, dt), got in zip(cases, got_all):
+            want = CocoEvaluator._match_img_ref(gt, dt, area_rng, 100)
+            for k in ("dtm", "dt_ig", "scores"):
+                np.testing.assert_array_equal(
+                    got[k], want[k],
+                    err_msg=f"{k} gt={len(gt)} dt={len(dt)} area={rng_name}",
+                )
+            assert got["n_gt"] == want["n_gt"]
+
+
+def test_eval_throughput_10k_images():
+    """VERDICT.md round-1 item 5: 10k images with predictions must score
+    in well under 60s (pycocotools-class speed)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    n_img, cats = 10_000, (1, 2, 3, 4, 5)
+    anns, preds = [], []
+    aid = 0
+    for img in range(1, n_img + 1):
+        for _ in range(8):  # ~PubLayNet density
+            cat = int(rng.integers(1, 6))
+            b = [float(rng.integers(0, 180)), float(rng.integers(0, 180)),
+                 float(rng.integers(5, 40)), float(rng.integers(5, 40))]
+            aid += 1
+            anns.append({"id": aid, "image_id": img, "category_id": cat,
+                         "bbox": b, "area": b[2] * b[3], "iscrowd": 0})
+            # jittered prediction + one noise det
+            jb = [b[0] + 1, b[1] + 1, b[2], b[3]]
+            preds.append({"image_id": img, "category_id": cat, "bbox": jb,
+                          "score": float(rng.uniform(0.5, 1.0))})
+        preds.append({"image_id": img, "category_id": int(rng.integers(1, 6)),
+                      "bbox": [0.0, 0.0, 10.0, 10.0],
+                      "score": float(rng.uniform(0.0, 0.5))})
+
+    coco = {
+        "images": [{"id": i, "width": 224, "height": 224}
+                   for i in range(1, n_img + 1)],
+        "annotations": anns,
+        "categories": [{"id": c, "name": str(c)} for c in cats],
+    }
+    t0 = time.time()
+    ev = CocoEvaluator(coco)
+    m = ev.evaluate(preds)
+    dt = time.time() - t0
+    assert 0.3 < m["mAP"] <= 1.0
+    assert dt < 60, f"10k-image eval took {dt:.1f}s"
