@@ -34,8 +34,10 @@ def get_available_device() -> str:
     """Best available JAX platform ('tpu' > 'gpu' > 'cpu').
 
     TPU-native analogue of the reference's cuda→mps→cpu probe
-    (config_constructs.py:12-21). Lazy: does not initialise the backend
-    at config-construction time unless asked.
+    (config_constructs.py:12-21). NOTE: initialises the XLA backend —
+    never call before ``maybe_distributed_init`` (multi-host bring-up
+    would silently degrade); config fields therefore default to "auto"
+    and resolve on demand via ``resolve_device``.
     """
     import jax
 
@@ -43,6 +45,11 @@ def get_available_device() -> str:
         return jax.default_backend()
     except RuntimeError:
         return "cpu"
+
+
+def resolve_device(device: str) -> str:
+    """Map the 'auto' config default to the probed platform."""
+    return get_available_device() if device == "auto" else device
 
 
 class DataLoaderConfig(BaseModel):
@@ -67,6 +74,11 @@ class MeshConfig(BaseModel):
     axis_names: tuple[str, str] = ("data", "model")
     # Initialise jax.distributed (multi-host) when world size > 1.
     enable_distributed_init: bool = False
+    # Explicit coordination (multi-host); None -> jax env-var / TPU-pod
+    # autodetection inside jax.distributed.initialize().
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
 
 
 class PrecisionConfig(BaseModel):
@@ -84,7 +96,7 @@ class TrainingConfig(BaseModel):
     train_base_path: str = "gs://layoutdit/data"
     train_input: str = "single"
 
-    device: str = Field(default_factory=get_available_device)
+    device: str = "auto"  # resolved lazily via resolve_device()
     num_epochs: int = 25
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
@@ -110,7 +122,7 @@ class EvalConfig(BaseModel):
 
     eval_input: str = "samples"
 
-    device: str = Field(default_factory=get_available_device)
+    device: str = "auto"  # resolved lazily via resolve_device()
     score_thresh: float = 0.0
 
     eval_base_path: Optional[str] = "gs://layoutdit"

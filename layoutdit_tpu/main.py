@@ -43,11 +43,16 @@ def main() -> None:
     from layoutdit_tpu.config import get_layout_dit_config
     from layoutdit_tpu.eval.evaluator import Evaluator
     from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.parallel.mesh import maybe_distributed_init
     from layoutdit_tpu.train.trainer import Trainer
 
     layout_dit_config = get_layout_dit_config()
     if args.local_mode:
         layout_dit_config.local_mode = True
+
+    # multi-host bring-up must precede ANY backend-touching jax call
+    # (model init below) — see parallel/mesh.py:maybe_distributed_init
+    maybe_distributed_init(layout_dit_config.mesh_config)
 
     logger.info("Starting LayoutDit training (args=%s)", vars(args))
 

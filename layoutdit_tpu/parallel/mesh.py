@@ -23,12 +23,40 @@ logger = get_logger(__name__)
 
 def maybe_distributed_init(cfg: MeshConfig) -> None:
     """Multi-host bring-up (replaces torch.distributed/NCCL init — none in
-    the reference, SURVEY.md §2.3)."""
-    if cfg.enable_distributed_init and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialised / single process
-            logger.warning("jax.distributed.initialize skipped: %s", e)
+    the reference, SURVEY.md §2.3).
+
+    Must run BEFORE any backend-touching jax call: probing
+    ``jax.process_count()`` (as round 1 did) initializes the local-only
+    backend, after which ``jax.distributed.initialize()`` raises and
+    multi-host silently degrades to N independent single-host runs. The
+    decision therefore comes from config/environment only:
+
+      * explicit ``coordinator_address``/``num_processes``/``process_id``
+        on MeshConfig (or the standard JAX env vars they default from),
+      * else no-arg ``initialize()``, which autodetects TPU pod / GKE /
+        SLURM environments and raises cleanly elsewhere.
+    """
+    if not cfg.enable_distributed_init:
+        return
+    if jax.distributed.is_initialized():
+        logger.info("jax.distributed already initialized")
+        return
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs = dict(
+            coordinator_address=cfg.coordinator_address,
+            num_processes=cfg.num_processes,
+            process_id=cfg.process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+        logger.info(
+            "jax.distributed up: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), jax.device_count(),
+        )
+    except Exception as e:
+        # single-host run with the flag on: degrade loudly, not silently
+        logger.warning("jax.distributed.initialize failed: %s", e)
 
 
 def build_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:

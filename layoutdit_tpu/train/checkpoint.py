@@ -75,3 +75,93 @@ def load_checkpoint(
         "epoch": int(payload["meta"]["epoch"]),
         "extra": json.loads(payload["meta"]["extra"]),
     }
+
+
+# ------------------------------------------------------- sharded (orbax)
+# For tensor-parallel / multi-host state the msgpack path above would
+# gather every shard to one host (memory spike at DiT-large scale, and
+# wrong across processes). The orbax path writes each shard from the
+# process that owns it and restores directly INTO the target shardings —
+# no full-array host copy at any point.
+
+
+def _is_nontrivially_sharded(tree) -> bool:
+    """True when any leaf is a jax.Array with a non-replicated sharding."""
+
+    def check(x):
+        sh = getattr(x, "sharding", None)
+        return sh is not None and not sh.is_fully_replicated
+
+    return any(check(x) for x in jax.tree_util.tree_leaves(tree))
+
+
+def save_checkpoint_sharded(
+    path: str,
+    params: Any,
+    opt_state: Any = None,
+    epoch: int = 0,
+    extra: Optional[dict] = None,
+) -> None:
+    """Write a per-shard (orbax/tensorstore) checkpoint directory.
+
+    Each process writes only its addressable shards; metadata rides in a
+    sibling JSON. ``path`` is a directory (local or gs://).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path) if "://" not in path else path
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    import fsspec
+
+    meta = {"epoch": epoch, "extra": extra or {}, "has_opt_state": opt_state is not None}
+    if jax.process_index() == 0:
+        with fsspec.open(path.rstrip("/") + ".meta.json", "w") as f:
+            f.write(json.dumps(meta))
+
+
+def load_checkpoint_sharded(
+    path: str,
+    params_template: Any,
+    opt_state_template: Any = None,
+) -> dict:
+    """Restore a sharded checkpoint directly into the templates' shardings.
+
+    Template leaves may be jax.Arrays (their shardings are reused) or
+    jax.ShapeDtypeStruct with a sharding. Returns the same dict shape as
+    ``load_checkpoint``.
+    """
+    import os
+
+    import fsspec
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path) if "://" not in path else path
+
+    def as_abstract(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    target = {"params": jax.tree_util.tree_map(as_abstract, params_template)}
+    if opt_state_template is not None:
+        target["opt_state"] = jax.tree_util.tree_map(
+            as_abstract, opt_state_template
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, target)
+    try:
+        with fsspec.open(path.rstrip("/") + ".meta.json", "r") as f:
+            meta = json.loads(f.read())
+    except FileNotFoundError:
+        meta = {"epoch": 0, "extra": {}}
+    return {
+        "params": state["params"],
+        "opt_state": state.get("opt_state"),
+        "epoch": int(meta["epoch"]),
+        "extra": meta["extra"],
+    }

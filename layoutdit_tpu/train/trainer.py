@@ -270,9 +270,17 @@ class Trainer:
     def resume(self, checkpoint_path: str):
         """True resume: params + optimizer + epoch (absent in the
         reference — SURVEY.md §5)."""
-        from layoutdit_tpu.train.checkpoint import load_checkpoint
+        from layoutdit_tpu.train.checkpoint import (
+            load_checkpoint,
+            load_checkpoint_sharded,
+        )
 
-        state = load_checkpoint(
+        loader = (
+            load_checkpoint_sharded
+            if checkpoint_path.rstrip("/").endswith(".orbax")
+            else load_checkpoint
+        )
+        state = loader(
             checkpoint_path, params_template=self.model.params,
             opt_state_template=self.opt_state,
         )
