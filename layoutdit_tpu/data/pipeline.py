@@ -125,6 +125,17 @@ class DetectionLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _pool(self):
+        """Lazy shared decode thread-pool (PIL fallback path)."""
+        if getattr(self, "_decode_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="ld-decode",
+            )
+        return self._decode_pool
+
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -177,11 +188,20 @@ class DetectionLoader:
                 orig_sizes[slot] = origs[slot]
                 image_valid[slot] = True
         else:
-            for slot, idx in enumerate(idxs):
+            # PIL fallback: decode examples CONCURRENTLY (PIL/numpy release
+            # the GIL for the heavy parts) — matches the reference's
+            # DataLoader(num_workers=2) worker parallelism (trainer.py:54-60)
+            # without process overhead.
+            def load(slot_idx):
+                slot, idx = slot_idx
                 image, target = self.dataset[int(idx)]
-                img, boxes, labels, valid, orig = prepare_example(
-                    image, target, s, self.max_gt
-                )
+                return slot, prepare_example(image, target, s, self.max_gt), target
+
+            if self.num_workers > 1 and len(idxs) > 1:
+                results = list(self._pool().map(load, enumerate(idxs)))
+            else:
+                results = [load(si) for si in enumerate(idxs)]
+            for slot, (img, boxes, labels, valid, orig), target in results:
                 images[slot] = img
                 gt_boxes[slot] = boxes
                 gt_labels[slot] = labels

@@ -124,3 +124,57 @@ def test_loader_propagates_worker_errors(fixture_dataset):
     loader.dataset.ids = [1, 2, 3, 4]
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_pil_fallback_decodes_concurrently(fixture_dataset):
+    """VERDICT r1 item 8: without the native C++ loader the per-example
+    decodes must overlap (thread pool), and the batch content must equal
+    the serial path's."""
+    import threading
+    import time
+
+    class SlowDataset:
+        """Proxy that stalls in __getitem__ and records overlap."""
+
+        def __init__(self, ds):
+            self._ds = ds
+            self.lock = threading.Lock()
+            self.active = 0
+            self.max_active = 0
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getattr__(self, name):
+            return getattr(self._ds, name)
+
+        def __getitem__(self, idx):
+            with self.lock:
+                self.active += 1
+                self.max_active = max(self.max_active, self.active)
+            time.sleep(0.05)
+            out = self._ds[idx]
+            with self.lock:
+                self.active -= 1
+            return out
+
+    slow = SlowDataset(fixture_dataset)
+    loader = DetectionLoader(
+        slow, batch_size=8, shuffle=False, num_workers=4,
+        device_put=False, use_native=False, drop_last=True,
+    )
+    t0 = time.time()
+    batch = next(iter(loader))
+    elapsed = time.time() - t0
+    assert slow.max_active >= 2, "decodes never overlapped"
+    assert elapsed < 8 * 0.05 + 1.0  # strictly faster than serial + slack
+
+    serial = DetectionLoader(
+        fixture_dataset, batch_size=8, shuffle=False, num_workers=1,
+        device_put=False, use_native=False, drop_last=True,
+    )
+    want = next(iter(serial))
+    np.testing.assert_array_equal(batch.images, want.images)
+    np.testing.assert_array_equal(batch.gt_boxes, want.gt_boxes)
+    np.testing.assert_array_equal(batch.gt_labels, want.gt_labels)
+    np.testing.assert_array_equal(batch.image_ids, want.image_ids)
