@@ -121,10 +121,27 @@ def beit_state_dict_to_params(
 
 
 def load_beit_checkpoint(path: str, cfg: ViTConfig) -> dict:
-    """Load a torch/safetensors BEiT state_dict from (fsspec) ``path`` and
-    convert it. Reference-compatible with the GCS ``.pth`` checkpoints of
-    model.py:90-121."""
+    """Load a BEiT encoder checkpoint from (fsspec) ``path`` and convert it.
+
+    Accepts torch ``.pth``/``.bin`` or safetensors state_dicts
+    (reference-compatible with the GCS checkpoints of model.py:90-121) as
+    well as natively converted ``.msgpack`` artifacts produced offline by
+    ``tools/convert_hf_checkpoint.py`` (no torch needed at load time)."""
     import fsspec
+
+    if path.endswith(".msgpack"):
+        import jax
+
+        from layoutdit_tpu.models.vit import init_vit_params
+        from layoutdit_tpu.train.checkpoint import load_checkpoint
+
+        template = init_vit_params(jax.random.PRNGKey(0), cfg)
+        state = load_checkpoint(path, params_template=template)
+        logger.info(
+            "Loaded converted encoder checkpoint %s (%s)",
+            path, state["extra"].get("preset", "?"),
+        )
+        return state["params"]
 
     with fsspec.open(path, "rb") as f:
         if path.endswith(".safetensors"):
