@@ -186,8 +186,10 @@ class ModelConfig(BaseModel):
 
     detection_budget: DetectionBudget = DetectionBudget()
 
-    # Attention implementation: "xla" (einsum) or "pallas" (flash kernel).
-    attention_impl: str = "xla"
+    # Attention implementation: "auto" (measured per-shape crossover:
+    # XLA einsum at base res, Pallas flash kernel from ~1k tokens),
+    # or force "xla" / "pallas".
+    attention_impl: str = "auto"
     # RoI pooler: "xla" or "pallas" (fused VMEM kernel).
     roi_impl: str = "xla"
 

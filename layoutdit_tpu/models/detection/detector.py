@@ -64,7 +64,7 @@ class DetectorConfig:
     roi_sampling_ratio: int = 2
     budget: DetectionBudget = dataclasses.field(default_factory=DetectionBudget)
     compute_dtype: str = "float32"
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     remat: bool = False
     # "dit" (ViT pyramid, reference model.py:57-70) or "resnet50"
     # (reference :72-84). The resnet path pools RoIs from 4 levels

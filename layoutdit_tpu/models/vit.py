@@ -186,6 +186,14 @@ def _attention(
     k = _linear(x, layer["k"]).reshape(b, n, h, hd)
     v = _linear(x, layer["v"]).reshape(b, n, h, hd)
 
+    if impl == "auto":
+        # measured v5e crossover (ATTENTION_BENCH.md): XLA's batched
+        # matmuls win at base-res token counts, the flash kernel from
+        # ~1k tokens (high-res document pages)
+        from layoutdit_tpu.ops.flash_attention import AUTO_FLASH_MIN_SEQ
+
+        impl = "pallas" if n >= AUTO_FLASH_MIN_SEQ else "xla"
+
     if impl == "pallas":
         from layoutdit_tpu.ops.flash_attention import flash_attention
 

@@ -1,4 +1,4 @@
-"""Blockwise flash attention (Pallas TPU kernel) with custom VJP.
+"""Blockwise flash attention (Pallas TPU kernels) with custom VJP.
 
 The reference's attention is HF BeitSelfAttention — materialized
 [B, H, N, N] scores in HBM (modeling_beit.py, SURVEY.md §2.2). This kernel
@@ -10,8 +10,19 @@ blockwise (BASELINE.json north star; SURVEY.md §2.3 note).
 Layout: inputs [B, N, H, D] (the encoder's natural layout), computed as a
 (B*H, q-block, kv-block) grid. Supports an additive attention bias
 [H, N, N] (BEiT relative position bias) and right-padding of N to the
-block size. Backward = two Pallas kernels (dKdV sweep, dQ sweep) using the
-standard recompute-with-D-vector flash formulation.
+block size.
+
+Backward: two Pallas kernels (dKdV sweep over q-blocks, dQ sweep over
+kv-blocks) using the standard recompute-with-lse flash formulation — the
+forward saves only (o, lse); p is recomputed blockwise so backward HBM
+traffic is also O(N*D). The bias path falls back to an exact XLA backward
+(dbias needs the materialized score grad; BEiT rel-pos-bias models only).
+
+Measured on v5e (see scripts/bench_attention.py): at the reference's
+224*224 resolution (N=197) XLA's batched-matmul attention wins (grid
+overhead dominates at two blocks per head), so the encoder default stays
+"xla" there; from N~=1k upward the flash kernel wins (1.7x at N=4096
+forward) — ``attention_impl="auto"`` picks per-shape.
 """
 
 from __future__ import annotations
@@ -26,15 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Measured v5e crossover: XLA batched attention wins below ~1k tokens,
+# the flash kernel above (scripts/bench_attention.py).
+AUTO_FLASH_MIN_SEQ = 1024
+MAX_BLOCK = 512
+
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _auto_blocks(n: int, block_q: int | None, block_k: int | None):
+    """Largest block up to MAX_BLOCK — fewer grid steps beat smaller
+    tiles at ViT-scale head dims (measured)."""
+    default = min(MAX_BLOCK, _ceil_to(n, 128))
+    return block_q or default, block_k or default
+
+
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
                 *, scale: float, n_valid: int, block_k: int, nkv: int):
     kv_i = pl.program_id(2)
 
@@ -71,10 +95,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(kv_i == nkv - 1)
     def _():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        # replicated across the 128-lane minor dim (Mosaic block tiling
+        # requires (8,128)-divisible trailing dims; a [*, Bq] row vector
+        # is not expressible as an output block)
+        lse_ref[0] = jnp.broadcast_to(
+            m_scr[:] + jnp.log(l_safe), lse_ref[0].shape
+        )
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    """-> (o [BH, N, D], lse [BH, N_pad, 128] fp32, lane-replicated)."""
     bh, n, d = q.shape
     n_pad = _ceil_to(n, max(block_q, block_k))
     nq = n_pad // block_q
@@ -117,13 +149,20 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
             _fwd_kernel_nobias, scale=scale, n_valid=n, block_k=block_k, nkv=nkv
         )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -131,23 +170,168 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
         ],
         interpret=interpret,
     )(*args)
-    return out[:, :n, :]
+    return out[:, :n, :], lse
 
 
-def _fwd_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
-    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr, **kw)
+def _fwd_kernel_nobias(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, **kw):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, **kw)
 
 
 # ----------------------------------------------------------------- backward
-# Standard flash backward: with P = exp(S - rowmax...)/l precomputed via the
-# saved statistics, using D = rowsum(dO * O):
-#   dV = P^T dO ; dS = P * (dO V^T - D) ; dQ = dS K * scale ; dK = dS^T Q * scale
+# Standard flash backward with saved lse and D = rowsum(dO * O):
+#   p  = exp(S - lse) ; dV = p^T dO ; dP = dO V^T
+#   dS = p * (dP - D) ; dQ = dS K * scale ; dK = dS^T Q * scale
+
+
+def _recompute_p(q_ref, k_ref, lse_ref, *, scale, n_valid, block_k, kv_i):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    # lse is lane-replicated [Bq, 128]; a max-reduce recovers the scalar
+    lse = jnp.max(lse_ref[0], axis=1, keepdims=True)
+    return jnp.exp(s - lse)  # [Bq, Bk]
+
+
+def _dvec(o_ref, do_ref):
+    """D = rowsum(dO * O) [Bq, 1], computed in-kernel (a [*, Bq] row-vector
+    input block would violate Mosaic tiling)."""
+    return jnp.sum(
+        do_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=1, keepdims=True,
+    )
+
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dk_ref, dv_ref, dk_scr, dv_scr,
+                     *, scale, n_valid, block_k, nq):
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    p = _recompute_p(q_ref, k_ref, lse_ref, scale=scale, n_valid=n_valid,
+                     block_k=block_k, kv_i=pl.program_id(1))  # [Bq, Bk]
+    do = do_ref[0].astype(jnp.float32)  # [Bq, D]
+    # dV += P^T dO
+    dv_scr[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dS = P * (dO V^T - D)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Bk]
+    ds = p * (dp - _dvec(o_ref, do_ref))
+    # dK += dS^T Q * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(q_i == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                   dq_ref, dq_scr, *, scale, n_valid, block_k, nkv):
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    p = _recompute_p(q_ref, k_ref, lse_ref, scale=scale, n_valid=n_valid,
+                     block_k=block_k, kv_i=kv_i)
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - _dvec(o_ref, do_ref))
+    dq_scr[:] += jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(kv_i == nkv - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
+    """Pallas backward (no-bias path) -> (dq, dk, dv)."""
+    bh, n, d = q.shape
+    n_pad = _ceil_to(n, max(block_q, block_k))
+    nq = n_pad // block_q
+    nkv = n_pad // block_k
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qp, kp, vp, op, dop = pad(q), pad(k), pad(v), pad(o), pad(do)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, kk, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, kk, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, n_valid=n,
+                          block_k=block_k, nq=nq),
+        grid=(bh, nkv, nq),  # kv outer, q inner (accumulate over q)
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, row_spec],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, op, dop, lse)
+
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n,
+                          block_k=block_k, nkv=nkv),
+        grid=(bh, nq, nkv),  # q outer, kv inner (accumulate over kv)
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, row_spec2],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, op, dop, lse)
+    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
 
 
 def _bwd_reference(q, k, v, bias, scale, o, do, n):
     """Non-kernel backward in plain XLA (numerically exact, O(N^2) memory
-    per (b*h) slice — fine at document-page sequence lengths; swap in
-    Pallas dQ/dKdV kernels for long-context workloads)."""
+    per (b*h) slice) — used only for the bias path, where dbias requires
+    the materialized score gradient."""
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
     s = jnp.einsum("znd,zmd->znm", qf, kf) * scale
     if bias is not None:
@@ -175,16 +359,22 @@ def _bwd_reference(q, k, v, bias, scale, o, do, n):
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
 def _flash_core(q, k, v, bias, scale, block_q, block_k, interpret):
-    return _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+    o, _ = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+    return o
 
 
 def _flash_core_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
-    o = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
-    return o, (q, k, v, bias, o)
+    o, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+    return o, (q, k, v, bias, o, lse)
 
 
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
-    q, k, v, bias, o = res
+    q, k, v, bias, o, lse = res
+    if bias is None:
+        dq, dk, dv = _flash_bwd(
+            q, k, v, o, lse, do, scale, block_q, block_k, interpret
+        )
+        return dq, dk, dv, None
     dq, dk, dv, dbias = _bwd_reference(q, k, v, bias, scale, o, do, q.shape[1])
     return dq, dk, dv, dbias
 
@@ -198,14 +388,15 @@ def flash_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,  # [H, N, N] additive (rel pos bias)
     scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention; returns [B, N, H, D] (same layout as inputs)."""
     b, n, h, d = q.shape
     if scale is None:
         scale = 1.0 / np.sqrt(d)
+    block_q, block_k = _auto_blocks(n, block_q, block_k)
 
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
