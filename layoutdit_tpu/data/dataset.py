@@ -20,6 +20,7 @@ from typing import Callable
 import numpy as np
 
 from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.utils.paths import join_path
 from layoutdit_tpu.utils.retry import retry_io
 
 logger = get_logger(__name__)
@@ -35,8 +36,14 @@ class PubLayNetDataset:
         # seam for local-fs / GCS duality, as in the reference (:19)
         self.fs_open: Callable = fsspec.open
 
-        with self.fs_open(annotations_json_path, "r") as f:
-            coco_data = json.load(f)
+        @retry_io
+        def _read_annotations():
+            # transient GCS 5xx on the one up-front JSON read aborts the
+            # whole run without this (image reads were already retried)
+            with self.fs_open(annotations_json_path, "r") as f:
+                return json.load(f)
+
+        coco_data = _read_annotations()
 
         # kept for the Evaluator (reference :25)
         self.coco_data = coco_data
@@ -59,7 +66,7 @@ class PubLayNetDataset:
         """Raw encoded image bytes (consumed by the native C++ decoder).
         Retries transient storage errors (GCS 5xx etc.)."""
         file_name = self.image_info[img_id]["file_name"]
-        img_path = os.path.join(self.images_root_dir, file_name)
+        img_path = join_path(self.images_root_dir, file_name)
         with self.fs_open(img_path, "rb") as f:
             return f.read()
 
@@ -69,7 +76,7 @@ class PubLayNetDataset:
         from PIL import Image
 
         file_name = self.image_info[img_id]["file_name"]
-        img_path = os.path.join(self.images_root_dir, file_name)
+        img_path = join_path(self.images_root_dir, file_name)
         with self.fs_open(img_path, "rb") as f:
             image = Image.open(f).convert("RGB")
         arr = np.asarray(image, dtype=np.float32) / 255.0  # [H, W, 3]

@@ -101,6 +101,7 @@ class DetectionLoader:
         device_put: bool = True,
         prefetch_depth: int = 2,
         use_native: bool | None = None,
+        shardings: dict | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -111,6 +112,7 @@ class DetectionLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.device_put = device_put
+        self.shardings = shardings
         self.prefetch_depth = prefetch_depth
         self._epoch = 0
         if use_native is None:
@@ -235,12 +237,26 @@ class DetectionLoader:
                     if stop.is_set():
                         return
                     batch = self._assemble(idxs)
-                    if self.device_put:
+                    if self.device_put or self.shardings:
+                        # H2D in the producer thread: jax.device_put is
+                        # async, so the transfer of batch N+1 overlaps the
+                        # device compute of batch N (the trainer's explicit
+                        # in_shardings then see already-committed arrays
+                        # and skip a second copy). Fields not named in
+                        # `shardings` stay host-side numpy when a shardings
+                        # map is given (train consumes only 4 of the 7).
                         import jax
 
+                        def put(name, val):
+                            if self.shardings is not None:
+                                if name not in self.shardings:
+                                    return val
+                                return jax.device_put(val, self.shardings[name])
+                            return jax.device_put(val)
+
                         batch = DetectionBatch(
-                            *(jax.device_put(getattr(batch, f.name))
-                              for f in batch.__dataclass_fields__.values())
+                            *(put(f, getattr(batch, f))
+                              for f in batch.__dataclass_fields__)
                         )
                     q.put(batch)
             except Exception as e:  # surface worker failures to the consumer

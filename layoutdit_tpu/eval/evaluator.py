@@ -29,6 +29,7 @@ import numpy as np
 from layoutdit_tpu.config.constructs import LayoutDitConfig
 from layoutdit_tpu.data.dataset import PubLayNetDataset
 from layoutdit_tpu.data.pipeline import DetectionLoader
+from layoutdit_tpu.utils.paths import join_path
 from layoutdit_tpu.eval.coco_eval import CocoEvaluator
 from layoutdit_tpu.log import get_logger
 from layoutdit_tpu.models.detection.detector import (
@@ -146,7 +147,7 @@ class Evaluator:
     def _load_pil(self, file_name):
         from PIL import Image
 
-        full_path = os.path.join(self.dataloader.dataset.images_root_dir, file_name)
+        full_path = join_path(self.dataloader.dataset.images_root_dir, file_name)
         with self.fs_open(full_path, "rb") as f:
             return Image.open(f).convert("RGB")
 
@@ -171,7 +172,7 @@ class Evaluator:
             draw.text((x0, y0 - th), label, fill="white", font=font)
 
     def _save_jpeg(self, img, out_dir, img_id):
-        out_path = os.path.join(out_dir, f"{img_id}.jpg")
+        out_path = join_path(out_dir, f"{img_id}.jpg")
         with self.fs_open(out_path, "wb", auto_mkdir=True) as f:
             img.save(f, format="JPEG")
         return out_path

@@ -214,10 +214,8 @@ def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
             canonical_scale=float(cfg.image_size),
             roi_mask=valid_i,
             impl=cfg.roi_impl,
-            native_layout=cfg.roi_impl == "xla",
+            native_layout=True,  # box head contracts [K, Py, C, Px] directly
         )
-        if cfg.roi_impl != "xla":  # [K, C, Py, Px] -> native [K, Py, C, Px]
-            pooled = pooled.transpose(0, 2, 1, 3)
         rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
         return predictor_forward(params["box_predictor"], rep)
 

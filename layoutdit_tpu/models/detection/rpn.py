@@ -31,7 +31,7 @@ from layoutdit_tpu.ops.boxes import (
     encode_boxes,
     small_box_mask,
 )
-from layoutdit_tpu.ops.nms import batched_nms_mask
+from layoutdit_tpu.ops.nms import batched_nms_mask, nms_mask
 
 
 class Proposals(NamedTuple):
@@ -90,7 +90,25 @@ def filter_proposals_single(
     valid = small_box_mask(boxes, budget.rpn_min_size)
     valid &= scores >= budget.rpn_score_thresh
 
-    keep = batched_nms_mask(boxes, scores, lv, budget.rpn_nms_thresh, valid=valid)
+    # Level-wise NMS (torchvision batched_nms over FPN levels). Levels are
+    # CONTIGUOUS here, so instead of the coordinate-offset trick on one
+    # merged N-box problem (whose O(N^2) overlap bitmask is ~2.7x larger
+    # than the sum of the per-level blocks) run exact NMS per level slice —
+    # cross-level pairs never suppress either way.
+    keep_parts = []
+    start = 0
+    for count in level_counts:
+        k = min(pre_n, count)
+        keep_parts.append(
+            nms_mask(
+                boxes[start : start + k],
+                scores[start : start + k],
+                budget.rpn_nms_thresh,
+                valid=valid[start : start + k],
+            )
+        )
+        start += k
+    keep = jnp.concatenate(keep_parts)
     sort_scores = jnp.where(keep, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(sort_scores, post_n)
     return Proposals(

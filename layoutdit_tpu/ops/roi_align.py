@@ -237,30 +237,6 @@ def multiscale_roi_align(
             mask = mask & roi_mask
         masks.append(mask)
 
-    if impl.startswith("pallas"):
-        from layoutdit_tpu.ops.roi_align_pallas import (
-            DEFAULT_KB,
-            fused_multiscale_roi_align,
-        )
-
-        k = rois.shape[0]
-        k_pad = (k + DEFAULT_KB - 1) // DEFAULT_KB * DEFAULT_KB
-        rois_p = jnp.pad(rois, ((0, k_pad - k), (0, 0)))
-        wys, wxs = [], []
-        for feat, scale, mask in zip(features, spatial_scales, masks):
-            mask_p = jnp.pad(mask, (0, k_pad - k))
-            wy, wx = build_roi_weights(
-                rois_p, scale, feat.shape[-2:], output_size, sampling_ratio,
-                roi_mask=mask_p,
-            )
-            wys.append(wy)
-            wxs.append(wx)
-        out = fused_multiscale_roi_align(
-            tuple(features), tuple(wys), tuple(wxs),
-            impl == "pallas_interpret",
-        )
-        return out[:k]
-
     if impl == "xla_per_level":
         out = None
         for feat, scale, mask in zip(features, spatial_scales, masks):
@@ -293,6 +269,19 @@ def multiscale_roi_align(
         wx = jnp.pad(wx, ((0, 0), (0, 0), (0, w_max - wx.shape[-1])))
         wx_cat = wx if wx_cat is None else wx_cat + wx
     wy_cat = jnp.concatenate(wy_parts, axis=-1)  # [K, P, sum(H_l)]
+
+    if impl.startswith("pallas"):
+        # fused VMEM kernel over the SAME atlas operands (fwd + bwd never
+        # materialize the [K, P, C, W] intermediate in HBM)
+        from layoutdit_tpu.ops.roi_align_pallas import pooled_atlas_pallas
+
+        out = pooled_atlas_pallas(
+            f_cat, wy_cat, wx_cat, interpret=impl == "pallas_interpret"
+        )  # [K, Py, Px, C]
+        if native_layout:
+            return out.transpose(0, 1, 3, 2)  # [K, Py, C, Px]
+        return out.transpose(0, 3, 1, 2)  # [K, C, Py, Px]
+
     if native_layout:
         return pooled_from_weights_native(f_cat, wy_cat, wx_cat)
     return pooled_from_weights(f_cat, wy_cat, wx_cat)

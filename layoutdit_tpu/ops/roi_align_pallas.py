@@ -1,27 +1,29 @@
-"""Fused multi-level RoIAlign as a Pallas TPU kernel.
+"""Fused multiscale RoIAlign as Pallas TPU kernels (atlas formulation).
 
-The XLA formulation (ops/roi_align.py) materializes a [K, P, C, W]
-intermediate and a [K, C, P, P] output PER FPN LEVEL in HBM and then sums
-the five levels — the detector's single largest memory stream. This kernel
-fuses both separable contractions AND the level accumulation in VMEM:
+The XLA formulation (ops/roi_align.py) materializes a [K, P, C, W_max]
+intermediate in HBM between the two separable contractions — ~820 MB per
+bs16 step at PubLayNet shapes, and the same again (twice) in the backward:
+the detector's single largest memory stream. These kernels keep that
+intermediate in VMEM.
 
-  per roi-block invocation, for each level l:
-      t1  = Wy_l(block) @ F_l            (MXU; F_l resident in VMEM)
-      acc += t1 contracted with Wx_l     (VPU sweeps over the P bins)
-  out(block) = acc                       (single bf16 write)
+Operands come from the SAME level-atlas construction the XLA path uses
+(multiscale_roi_align): one feature map [C, H_atlas, W_max] with levels
+stacked along H, and level-masked separable weights Wy [K, P, H_atlas] /
+Wx [K, P, W_max].
 
-HBM traffic drops from ~8 GB to ~0.5 GB per batch of 16 images at
-PubLayNet shapes. The per-level bilinear weights (with FPN level routing
-folded in as zero rows) are built in plain JAX — they are tiny.
+Mosaic-legality notes (probed on v5e): batched ``dot_general`` and
+major-dim ``transpose((1,0,2))`` lower fine; merging/splitting the two
+minor (tiled) dims does NOT — so the kernels never reshape across the
+lane dim, and operands that would need a hard 2D transpose in-kernel
+(Wx^T, Wy^T) are passed pre-transposed from XLA (they are tiny).
 
-TPU layout notes: channels live on the lane dimension (full C per block,
-satisfying the 128-divisibility rule); the accumulator is [KB, P, P, C] so
-no minor-dim transpose or lane-indexed slice appears in-kernel (Mosaic
-lowers those to unsupported gathers). The wrapper restores [K, C, P, P]
-with one cheap XLA relayout.
-
-Backward reuses the XLA formulation's VJP — exact, and only the forward is
-on both the train and predict hot paths.
+Forward, per block of KB rois (feature atlas resident in VMEM):
+    wyb = broadcast(Wy)                 [W, KB*P, H]
+    t2  = bmm_W(wyb, featW)             [W, KB*P, C]   (featW = [W, H, C])
+    out = bmm_KP(broadcast(Wx), t2^T)   [KB*P, P, C] -> [KB, Py, Px, C]
+Backward (dfeat only — proposals are stop-gradient'd):
+    dt2 = bmm_KP(broadcast(Wx^T), dout) [KB*P, W, C]
+    dF += bmm_W(broadcast(Wy^T), dt2^T) [W, H, C]      (accumulated)
 """
 
 from __future__ import annotations
@@ -33,126 +35,163 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_KB = 16  # rois per block (keeps t1 + acc within VMEM at C=256)
+DEFAULT_KB = 8  # rois per block: keeps t2 + transpose + acc within VMEM
 
 
-def _fwd_kernel(*refs, num_levels: int, p: int, kb: int):
-    # refs: wy_0..wy_{L-1}, wx_0..., featT_0... (featT = [H, C, W]), out, acc
-    wy_refs = refs[:num_levels]
-    wx_refs = refs[num_levels:2 * num_levels]
-    feat_refs = refs[2 * num_levels:3 * num_levels]
-    out_ref = refs[3 * num_levels]
-    acc = refs[3 * num_levels + 1]  # scratch [KB, P, P, C] f32 (C on lanes)
-
-    acc[:] = jnp.zeros_like(acc)
-    for l in range(num_levels):
-        wy = wy_refs[l][:]  # [KB, P, H]
-        wx = wx_refs[l][:]  # [KB, P, W]
-        feat = feat_refs[l][:]  # [H, C, W]
-        h, c, w = feat.shape
-        # t1[k*p, c*w] = wy @ featT   (MXU), stored bf16 to halve VMEM
-        t1 = jax.lax.dot_general(
-            wy.reshape(kb * p, h).astype(feat.dtype),
-            feat.reshape(h, c * w),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(feat.dtype).reshape(kb, p, c, w)
-        # acc[k, py, px, c] += sum_w t1[k, py, c, w] * wx[k, px, w]  (VPU).
-        # NB: slice+reshape, NOT wx[:, px, None, None, :] — Mosaic lowers
-        # mixed int-index+newaxis to an unsupported gather.
-        t1f = t1.astype(jnp.float32)
-        for px in range(p):
-            wxp = wx[:, px, :].astype(jnp.float32).reshape(kb, 1, 1, w)
-            acc[:, :, px, :] += jnp.sum(t1f * wxp, axis=-1)
-    out_ref[:] = acc[:].astype(out_ref.dtype)
-
-
-def fused_multiscale_roi_align_fwd(
-    feats: list[jnp.ndarray],  # [C, H_l, W_l] per level
-    wys: list[jnp.ndarray],  # [K, P, H_l] per level (level-masked)
-    wxs: list[jnp.ndarray],  # [K, P, W_l]
-    out_dtype=None,
-    kb: int = DEFAULT_KB,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """-> pooled [K, C, P, P]."""
-    num_levels = len(feats)
-    c = feats[0].shape[0]
-    k, p, _ = wys[0].shape
-    assert k % kb == 0, (k, kb)
-    out_dtype = out_dtype or feats[0].dtype
-
-    featts = [f.transpose(1, 0, 2) for f in feats]  # [H, C, W]
-
-    grid = (k // kb,)
-    in_specs = (
-        [
-            pl.BlockSpec((kb, p, wy.shape[2]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for wy in wys
-        ]
-        + [
-            pl.BlockSpec((kb, p, wx.shape[2]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for wx in wxs
-        ]
-        + [
-            pl.BlockSpec(ft.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for ft in featts
-        ]
+def _bmm(a, b):
+    """Batched matmul over the leading dim, f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
+
+
+def _fwd_kernel(featw_ref, wy_ref, wx_ref, out_ref, *, p: int):
+    featw = featw_ref[:]  # [W, H, C] (resident across roi blocks)
+    w_a, h_a, c = featw.shape
+    kb = wx_ref.shape[0]
+
+    # wy arrives pre-flattened [KB*P, H] (merging (KB, P) in-kernel would
+    # reshape across the second-minor tiled dim — Mosaic rejects that)
+    wy = wy_ref[:].astype(featw.dtype)[None]  # [1, KB*P, H]
+    wyb = jnp.broadcast_to(wy, (w_a, kb * p, h_a))
+    t2 = _bmm(wyb, featw).astype(featw.dtype)  # [W, KB*P, C]
+    t2t = jnp.transpose(t2, (1, 0, 2))  # [KB*P(k,py), W, C]
+
+    wx = wx_ref[:].astype(featw.dtype)  # [KB, P(px), W]
+    wxb = jnp.broadcast_to(wx[:, None], (kb, p, p, w_a)).reshape(kb * p, p, w_a)
+    out = _bmm(wxb, t2t)  # [KB*P(k,py), P(px), C]
+    out_ref[:] = out.reshape(kb, p, p, c).astype(out_ref.dtype)
+
+
+def _bwd_kernel(wyt_ref, wxt_ref, dout_ref, dfeat_ref, acc, *, p: int,
+                nblocks: int):
+    # grid = (w_blocks, roi_blocks); roi axis innermost so the [WB, H, C]
+    # f32 accumulator is valid across it. Blocking the output over W is
+    # what keeps scoped VMEM under the 16 MB cap (a full-[W, H, C]
+    # accumulator + transients measured 21.4M on v5e at PubLayNet shapes).
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    wxt = wxt_ref[:]  # [KB, WB, P(px)] bf16 (pre-transposed in XLA)
+    kb, wb, _ = wxt.shape
+    dout = dout_ref[:]  # [KB, P(py), P(px), C]
+    c = dout.shape[-1]
+    wxtb = jnp.broadcast_to(wxt[:, None], (kb, p, wb, p)).reshape(
+        kb * p, wb, p
+    )
+    dout2 = dout.astype(wxt.dtype).reshape(kb * p, p, c)  # [(k,py), px, C]
+    dt2 = _bmm(wxtb, dout2).astype(wxt.dtype)  # [(k,py), WB, C]
+    dt2t = jnp.transpose(dt2, (1, 0, 2))  # [WB, (k,py), C]
+
+    wyt = wyt_ref[0]  # [H, KB*P] bf16 (pre-transposed in XLA, per block)
+    h_a = wyt.shape[0]
+    wytb = jnp.broadcast_to(wyt[None], (wb, h_a, kb * p))
+    acc[:] += _bmm(wytb, dt2t)  # [WB, H, C] f32
+
+    @pl.when(j == nblocks - 1)
+    def _():
+        dfeat_ref[:] = acc[:].astype(dfeat_ref.dtype)
+
+
+def _pad_rois(x, k_pad):
+    return jnp.pad(x, ((0, k_pad - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _fwd(feature, wy, wx, kb, interpret):
+    """feature [C, H, W]; wy [K, P, H]; wx [K, P, W] -> [K, Py, Px, C]."""
+    c, h_a, w_a = feature.shape
+    k, p, _ = wy.shape
+    k_pad = (k + kb - 1) // kb * kb
+    wy_p, wx_p = _pad_rois(wy, k_pad), _pad_rois(wx, k_pad)
+    featw = feature.transpose(2, 1, 0)  # [W, H, C] (one XLA relayout)
+    wy2 = wy_p.reshape(k_pad * p, h_a)  # pre-flattened for the kernel
+
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_levels=num_levels, p=p, kb=kb),
-        grid=grid,
-        in_specs=in_specs,
+        functools.partial(_fwd_kernel, p=p),
+        grid=(k_pad // kb,),
+        in_specs=[
+            pl.BlockSpec((w_a, h_a, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb * p, h_a), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, p, w_a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((kb, p, p, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, p, p, c), out_dtype),
-        scratch_shapes=[pltpu.VMEM((kb, p, p, c), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((k_pad, p, p, c), feature.dtype),
         interpret=interpret,
-    )(*wys, *wxs, *featts)
-    return out.transpose(0, 3, 1, 2)  # [K, C, P, P] (cheap XLA relayout)
+    )(featw, wy2.astype(feature.dtype), wx_p.astype(feature.dtype))
+    return out[:k]
+
+
+DEFAULT_WB = 16  # dfeat rows (atlas W) per backward block
+
+
+def _bwd(wy, wx, dout, kb, interpret, wb: int = DEFAULT_WB):
+    """-> dfeat [C, H, W] (shapes/dtype derived from the operands)."""
+    dtype = dout.dtype
+    h_a, w_a, c = wy.shape[-1], wx.shape[-1], dout.shape[-1]
+    k, p, _ = wy.shape
+    k_pad = (k + kb - 1) // kb * kb
+    nblocks = k_pad // kb
+    w_pad = (w_a + wb - 1) // wb * wb
+    wy_p, wx_p = _pad_rois(wy, k_pad), _pad_rois(wx, k_pad)
+    dout_p = _pad_rois(dout, k_pad)
+    # pre-transposed operands (tiny; avoids in-kernel lane<->sublane swaps)
+    wyt = wy_p.astype(dtype).reshape(nblocks, kb * p, h_a).transpose(0, 2, 1)
+    wxt = jnp.pad(
+        wx_p.astype(dtype).transpose(0, 2, 1),  # [K_pad, W, P]
+        ((0, 0), (0, w_pad - w_a), (0, 0)),
+    )
+
+    dfeat_w = pl.pallas_call(
+        functools.partial(_bwd_kernel, p=p, nblocks=nblocks),
+        grid=(w_pad // wb, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, h_a, kb * p), lambda iw, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, wb, p), lambda iw, j: (j, iw, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, p, p, c), lambda iw, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb, h_a, c), lambda iw, j: (iw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_pad, h_a, c), dtype),
+        scratch_shapes=[pltpu.VMEM((wb, h_a, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(wyt, wxt, dout_p.astype(dtype))
+    return dfeat_w[:w_a].transpose(2, 1, 0)  # [C, H, W]
 
 
 # -------------------------------------------------------------- public VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_multiscale_roi_align(feats, wys, wxs, interpret=False):
-    """feats: tuple of [C, H_l, W_l]; wys/wxs: tuples of [K, P, H_l]/
-    [K, P, W_l] level-masked bilinear weights -> pooled [K, C, P, P]."""
-    return fused_multiscale_roi_align_fwd(
-        list(feats), list(wys), list(wxs), interpret=interpret
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pooled_atlas_pallas(feature, wy, wx, kb=DEFAULT_KB, interpret=False):
+    """Fused atlas RoIAlign: feature [C, H, W] + separable level-masked
+    weights -> pooled [K, Py, Px, C], with both the forward intermediate
+    and the backward's kept in VMEM."""
+    return _fwd(feature, wy, wx, kb, interpret)
 
 
-def _xla_pooled_sum(feats, wys, wxs):
-    from layoutdit_tpu.ops.roi_align import pooled_from_weights
-
-    out = None
-    for f, wy, wx in zip(feats, wys, wxs):
-        pooled = pooled_from_weights(f, wy, wx)
-        out = pooled if out is None else out + pooled
-    return out
+def _vjp_fwd(feature, wy, wx, kb, interpret):
+    out = _fwd(feature, wy, wx, kb, interpret)
+    return out, (wy, wx)
 
 
-def _fused_fwd(feats, wys, wxs, interpret):
-    out = fused_multiscale_roi_align_fwd(
-        list(feats), list(wys), list(wxs), interpret=interpret
-    )
-    return out, (feats, wys, wxs)
+def _vjp_bwd(kb, interpret, res, dout):
+    wy, wx = res
+    dfeat = _bwd(wy, wx, dout, kb, interpret)
+    return dfeat, jnp.zeros_like(wy), jnp.zeros_like(wx)
 
 
-def _fused_bwd(interpret, res, dpooled):
-    feats, wys, wxs = res
-    # exact adjoint via the XLA formulation (only d/dfeats is nonzero on
-    # the training path; weights come from stop-gradient'd proposals)
-    _, vjp = jax.vjp(lambda fs: _xla_pooled_sum(fs, wys, wxs), feats)
-    (dfeats,) = vjp(dpooled.astype(feats[0].dtype))
-    zeros_wy = tuple(jnp.zeros_like(w) for w in wys)
-    zeros_wx = tuple(jnp.zeros_like(w) for w in wxs)
-    return dfeats, zeros_wy, zeros_wx
-
-
-fused_multiscale_roi_align.defvjp(_fused_fwd, _fused_bwd)
+pooled_atlas_pallas.defvjp(_vjp_fwd, _vjp_bwd)

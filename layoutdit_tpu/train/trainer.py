@@ -120,7 +120,17 @@ class Trainer:
             max_gt=dl_cfg.max_gt_boxes,
             seed=self.config.train_config.seed,
             drop_last=True,  # constant shapes: one compiled step
-            device_put=False,  # sharded placement happens in train loop
+            # producer-thread H2D: the next batch's transfer overlaps the
+            # current step's compute (device_put is async); only the four
+            # fields the train step consumes are shipped.
+            device_put=False,
+            # (multi-step dispatch re-stacks batches on host, so keep the
+            # loader host-side in that mode)
+            shardings=None if self.config.train_config.steps_per_dispatch > 1
+            else {
+                f: batch_sharding(self.mesh)
+                for f in ("images", "gt_boxes", "gt_labels", "gt_valid")
+            },
             prefetch_depth=dl_cfg.prefetch_depth,
         )
 

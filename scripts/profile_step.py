@@ -45,18 +45,28 @@ from layoutdit_tpu.models.detection.roi_heads import (
 from layoutdit_tpu.train.trainer import make_optimizer
 
 
-def timed(fn, *args, steps: int, reps: int = 3) -> float:
-    """Median wall ms/iteration of fn scanned `steps` times inside one jit."""
+def timed(fn, params, images, steps: int, reps: int = 3) -> float:
+    """Median wall ms/iteration of fn scanned `steps` times inside one jit.
+
+    Each iteration's images depend (negligibly, * 1e-30) on the previous
+    iteration's result, so XLA cannot hoist loop-invariant stages out of
+    the fori_loop — without this the trunk forward (same params, same
+    images every iteration) is computed ONCE and the per-stage numbers
+    are fiction."""
 
     @jax.jit
     def run(args):
+        params, images = args
+
         def body(i, acc):
-            out = fn(*args, jnp.uint32(i))
+            imgs = images + acc * jnp.float32(1e-30)
+            out = fn(params, imgs, jnp.uint32(i))
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return acc + leaf.astype(jnp.float32).sum()
+            return acc * jnp.float32(1e-30) + leaf.astype(jnp.float32).sum() * jnp.float32(1e-30)
 
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
 
+    args = (params, images)
     r = run(args)
     np.asarray(r)  # compile + warmup
     times = []
@@ -137,6 +147,14 @@ def main() -> None:
         )
         return sum(losses.values())
 
+    def tree_sum(t):
+        # consume EVERY leaf so no weight-gradient / optimizer computation
+        # is dead-code-eliminated (summing only one leaf lets XLA drop the
+        # dW matmuls of all other layers — roughly half the backward)
+        return sum(
+            leaf.astype(jnp.float32).sum() for leaf in jax.tree_util.tree_leaves(t)
+        )
+
     def s_fwd_bwd(params, images, i):
         def total(p):
             return sum(
@@ -146,7 +164,7 @@ def main() -> None:
             )
 
         loss, grads = jax.value_and_grad(total)(params)
-        return loss + jax.tree_util.tree_leaves(grads)[0].astype(jnp.float32).sum()
+        return loss + tree_sum(grads)
 
     def s_train_step(params, images, i):
         def total(p):
@@ -159,7 +177,7 @@ def main() -> None:
         loss, grads = jax.value_and_grad(total)(params)
         updates, _ = tx.update(grads, opt_state, params)
         new = optax.apply_updates(params, updates)
-        return loss + jax.tree_util.tree_leaves(new)[0].astype(jnp.float32).sum()
+        return loss + tree_sum(new)
 
     stages = [
         ("trunk fwd (backbone+FPN+rpn head)", s_trunk),

@@ -178,3 +178,37 @@ def test_pil_fallback_decodes_concurrently(fixture_dataset):
     np.testing.assert_array_equal(batch.gt_boxes, want.gt_boxes)
     np.testing.assert_array_equal(batch.gt_labels, want.gt_labels)
     np.testing.assert_array_equal(batch.image_ids, want.image_ids)
+
+
+def test_loader_sharded_device_put(fixture_dataset):
+    """shardings= places exactly the named fields on device with the given
+    sharding (committed, so the train step's in_shardings skip a re-copy)
+    while the rest stay host numpy."""
+    import jax
+
+    from layoutdit_tpu.config.constructs import MeshConfig
+    from layoutdit_tpu.parallel.mesh import batch_sharding, build_mesh
+
+    mesh = build_mesh(MeshConfig())  # data axis over all local devices
+    data = batch_sharding(mesh)
+    loader = DetectionLoader(
+        fixture_dataset, batch_size=8, shuffle=False, device_put=False,
+        use_native=False, drop_last=True,
+        shardings={f: data for f in ("images", "gt_boxes", "gt_labels",
+                                     "gt_valid")},
+    )
+    batch = next(iter(loader))
+    for f in ("images", "gt_boxes", "gt_labels", "gt_valid"):
+        arr = getattr(batch, f)
+        assert isinstance(arr, jax.Array), f
+        assert arr.sharding.is_equivalent_to(data, arr.ndim), f
+    assert isinstance(batch.image_ids, np.ndarray)
+    assert isinstance(batch.orig_sizes, np.ndarray)
+
+    host = DetectionLoader(
+        fixture_dataset, batch_size=8, shuffle=False, device_put=False,
+        use_native=False, drop_last=True,
+    )
+    want = next(iter(host))
+    np.testing.assert_array_equal(np.asarray(batch.images), want.images)
+    np.testing.assert_array_equal(np.asarray(batch.gt_boxes), want.gt_boxes)

@@ -83,3 +83,14 @@ def test_fetch_samples_synthetic(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "samples.json").exists()
+
+
+def test_join_path_url_and_local():
+    from layoutdit_tpu.utils.paths import join_path
+
+    assert join_path("gs://bucket/data", "imgs", "a.jpg") == "gs://bucket/data/imgs/a.jpg"
+    assert join_path("gs://bucket/data/", "/imgs/", "a.jpg") == "gs://bucket/data/imgs/a.jpg"
+    assert join_path("s3://b", "x.json") == "s3://b/x.json"
+    import os
+
+    assert join_path("/tmp/root", "f.jpg") == os.path.join("/tmp/root", "f.jpg")

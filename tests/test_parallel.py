@@ -206,3 +206,36 @@ def test_tp_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state["opt_state"]["mu"]), np.asarray(opt["mu"])
     )
+
+
+def test_build_mesh_non_dividing_falls_back_nx1():
+    """dp*mp != n devices -> warn + n x 1 mesh (no dark chips)."""
+    import jax
+
+    devs = jax.devices()[:6]
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2), devices=devs)
+    assert mesh.shape == {"data": 6, "model": 1}
+
+
+def test_build_mesh_for_batch_idles_devices_loudly():
+    """bs not divisible by device count: largest dividing dp is used and
+    the clamp is logged (VERDICT weak #10 — the fallback must be visible).
+    The package logger doesn't propagate to root, so capture via a handler."""
+    import logging
+
+    from layoutdit_tpu.parallel import mesh as mesh_mod
+
+    records = []
+
+    class _Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Grab(level=logging.WARNING)
+    mesh_mod.logger.addHandler(h)
+    try:
+        mesh = build_mesh_for_batch(MeshConfig(data_parallel=7), batch_size=16)
+    finally:
+        mesh_mod.logger.removeHandler(h)
+    assert mesh.shape["data"] == 4  # largest divisor of 16 that is <= 7
+    assert any("clamped" in m for m in records)
