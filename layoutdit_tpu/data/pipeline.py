@@ -102,6 +102,7 @@ class DetectionLoader:
         prefetch_depth: int = 2,
         use_native: bool | None = None,
         shardings: dict | None = None,
+        stack_batches: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -113,6 +114,13 @@ class DetectionLoader:
         self.drop_last = drop_last
         self.device_put = device_put
         self.shardings = shardings
+        # >1: the producer stacks S consecutive batches into one
+        # super-batch ([S, B, ...] on the fields named in `shardings`,
+        # device_put as ONE transfer per field) so the trainer can run S
+        # steps per dispatch (lax.scan) — per-call dispatch latency and
+        # transfer setup amortize S-fold while the H2D still overlaps
+        # compute in this thread. Epoch remainders yield plain batches.
+        self.stack_batches = max(1, stack_batches)
         self.prefetch_depth = prefetch_depth
         self._epoch = 0
         if use_native is None:
@@ -231,34 +239,64 @@ class DetectionLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def ship(batch: DetectionBatch, stacked: bool) -> DetectionBatch:
+            """H2D in the producer thread: jax.device_put is async, so the
+            transfer of batch N+1 overlaps the device compute of batch N
+            (the trainer's explicit in_shardings then see already-committed
+            arrays and skip a second copy). Fields not named in `shardings`
+            stay host-side numpy when a shardings map is given (train
+            consumes only 4 of the 7)."""
+            if not (self.device_put or self.shardings):
+                return batch
+            import jax
+
+            def put(name, val):
+                if self.shardings is not None:
+                    if name not in self.shardings:
+                        return val
+                    s = self.shardings[name]
+                    if stacked:
+                        from jax.sharding import (
+                            NamedSharding, PartitionSpec,
+                        )
+
+                        # super-batch: batch axis moved to dim 1
+                        s = NamedSharding(s.mesh, PartitionSpec(None, *s.spec))
+                    return jax.device_put(val, s)
+                return jax.device_put(val)
+
+            return DetectionBatch(
+                *(put(f, getattr(batch, f))
+                  for f in batch.__dataclass_fields__)
+            )
+
+        def stack(group: list[DetectionBatch]) -> DetectionBatch:
+            fields = {}
+            for f in DetectionBatch.__dataclass_fields__:
+                vals = [getattr(b, f) for b in group]
+                if self.shardings is not None and f not in self.shardings:
+                    # metadata stays host-side, flat [S*B, ...]
+                    fields[f] = np.concatenate(vals)
+                else:
+                    fields[f] = np.stack(vals)  # [S, B, ...]
+            return DetectionBatch(**fields)
+
         def producer():
             try:
+                group: list[DetectionBatch] = []
                 for idxs in self._batches_of_indices():
                     if stop.is_set():
                         return
                     batch = self._assemble(idxs)
-                    if self.device_put or self.shardings:
-                        # H2D in the producer thread: jax.device_put is
-                        # async, so the transfer of batch N+1 overlaps the
-                        # device compute of batch N (the trainer's explicit
-                        # in_shardings then see already-committed arrays
-                        # and skip a second copy). Fields not named in
-                        # `shardings` stay host-side numpy when a shardings
-                        # map is given (train consumes only 4 of the 7).
-                        import jax
-
-                        def put(name, val):
-                            if self.shardings is not None:
-                                if name not in self.shardings:
-                                    return val
-                                return jax.device_put(val, self.shardings[name])
-                            return jax.device_put(val)
-
-                        batch = DetectionBatch(
-                            *(put(f, getattr(batch, f))
-                              for f in batch.__dataclass_fields__)
-                        )
-                    q.put(batch)
+                    if self.stack_batches > 1:
+                        group.append(batch)
+                        if len(group) == self.stack_batches:
+                            q.put(ship(stack(group), stacked=True))
+                            group = []
+                    else:
+                        q.put(ship(batch, stacked=False))
+                for batch in group:  # epoch remainder: plain batches
+                    q.put(ship(batch, stacked=False))
             except Exception as e:  # surface worker failures to the consumer
                 q.put(e)
             finally:

@@ -35,10 +35,27 @@ def main() -> None:
     parser.add_argument(
         "--skip-train", action="store_true", help="Evaluate only"
     )
+    parser.add_argument(
+        "--skip-eval", action="store_true", help="Train only"
+    )
     args = parser.parse_args()
 
     if not args.read_config and "LAYOUTDIT_SKIP_REMOTE_CONFIG" not in os.environ:
         os.environ["LAYOUTDIT_SKIP_REMOTE_CONFIG"] = "1"
+
+    # persistent XLA compilation cache: the full-size train step takes
+    # minutes to compile; every CLI invocation after the first should pay
+    # seconds, not minutes (override dir via LAYOUTDIT_JAX_CACHE, disable
+    # with LAYOUTDIT_JAX_CACHE=0)
+    cache_dir = os.environ.get(
+        "LAYOUTDIT_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "layoutdit_jax"),
+    )
+    if cache_dir != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from layoutdit_tpu.config import get_layout_dit_config
     from layoutdit_tpu.eval.evaluator import Evaluator
@@ -65,12 +82,13 @@ def main() -> None:
             trainer.resume(args.resume)
         trainer.train()
 
-    evaluator = Evaluator(model=model, layout_dit_config=layout_dit_config)
-    metrics = evaluator.score()
-    if metrics is not None:
-        logger.info("Final metrics: %s", metrics)
-    evaluator.visualize_preds()
-    evaluator.visualize_gt()
+    if not args.skip_eval:
+        evaluator = Evaluator(model=model, layout_dit_config=layout_dit_config)
+        metrics = evaluator.score()
+        if metrics is not None:
+            logger.info("Final metrics: %s", metrics)
+        evaluator.visualize_preds()
+        evaluator.visualize_gt()
 
 
 if __name__ == "__main__":

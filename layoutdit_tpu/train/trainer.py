@@ -122,15 +122,16 @@ class Trainer:
             drop_last=True,  # constant shapes: one compiled step
             # producer-thread H2D: the next batch's transfer overlaps the
             # current step's compute (device_put is async); only the four
-            # fields the train step consumes are shipped.
+            # fields the train step consumes are shipped. With
+            # steps_per_dispatch > 1 the loader also stacks S batches into
+            # one [S, B, ...] super-batch per transfer (one lax.scan
+            # dispatch runs S steps).
             device_put=False,
-            # (multi-step dispatch re-stacks batches on host, so keep the
-            # loader host-side in that mode)
-            shardings=None if self.config.train_config.steps_per_dispatch > 1
-            else {
+            shardings={
                 f: batch_sharding(self.mesh)
                 for f in ("images", "gt_boxes", "gt_labels", "gt_valid")
             },
+            stack_batches=max(1, self.config.train_config.steps_per_dispatch),
             prefetch_depth=dl_cfg.prefetch_depth,
         )
 
@@ -206,20 +207,19 @@ class Trainer:
         n_steps = 0
         n_images = 0
         key = jax.random.PRNGKey(train_cfg.seed + 1000 + epoch)
-        spd = max(1, train_cfg.steps_per_dispatch)
-        pending = []
         for batch in self.dataloader:
-            pending.append(batch)
-            n_steps += 1
-            n_images += batch.images.shape[0]
-            if len(pending) < spd:
-                continue
+            # the loader yields plain [B, ...] batches, or [S, B, ...]
+            # super-batches when steps_per_dispatch > 1 (epoch remainders
+            # still arrive plain)
+            stacked = batch.images.ndim == 5
+            s = batch.images.shape[0] if stacked else 1
+            n_steps += s
+            n_images += (
+                batch.images.shape[0] * batch.images.shape[1] if stacked
+                else batch.images.shape[0]
+            )
             key, sub = jax.random.split(key)
-            losses.append(self._dispatch(pending, sub, n_steps))
-            pending = []
-        for batch in pending:  # epoch remainder: single-step dispatches
-            key, sub = jax.random.split(key)
-            losses.append(self._dispatch([batch], sub, n_steps))
+            losses.append(self._dispatch(batch, stacked, sub, n_steps))
         avg = float(jnp.concatenate([jnp.atleast_1d(l) for l in losses]).mean()) \
             if losses else 0.0
         dt = time.time() - t0
@@ -230,23 +230,19 @@ class Trainer:
         )
         return avg
 
-    def _dispatch(self, batches: list, rng, step_num: int):
-        """Run 1..N training steps in one device call; returns device
-        loss scalar(s)."""
+    def _dispatch(self, b, stacked: bool, rng, step_num: int):
+        """Run 1 (plain batch) or S (super-batch lax.scan) training steps
+        in one device call; returns device loss scalar(s)."""
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step_num):
-            if len(batches) == 1:
-                b = batches[0]
+            if not stacked:
                 self.model.params, self.opt_state, loss, _ = self._train_step(
                     self.model.params, self.opt_state, rng,
                     b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
                 )
                 return loss
-            stacked = [
-                np.stack([getattr(b, f) for b in batches])
-                for f in ("images", "gt_boxes", "gt_labels", "gt_valid")
-            ]
             self.model.params, self.opt_state, losses = self._train_multi_step(
-                self.model.params, self.opt_state, rng, *stacked
+                self.model.params, self.opt_state, rng,
+                b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
             )
             return losses
 

@@ -212,3 +212,47 @@ def test_loader_sharded_device_put(fixture_dataset):
     want = next(iter(host))
     np.testing.assert_array_equal(np.asarray(batch.images), want.images)
     np.testing.assert_array_equal(np.asarray(batch.gt_boxes), want.gt_boxes)
+
+
+def test_loader_stacked_super_batches(fixture_dataset):
+    """stack_batches=2: yields [S, B, ...] device super-batches for the
+    sharded fields (batch axis sharded on dim 1), flat [S*B] host metadata,
+    and plain batches for the epoch remainder."""
+    import jax
+
+    from layoutdit_tpu.config.constructs import MeshConfig
+    from layoutdit_tpu.parallel.mesh import batch_sharding, build_mesh_for_batch
+
+    bs = 4
+    mesh = build_mesh_for_batch(MeshConfig(), batch_size=bs)
+    data = batch_sharding(mesh)
+    n = len(fixture_dataset)
+    loader = DetectionLoader(
+        fixture_dataset, batch_size=bs, shuffle=False, device_put=False,
+        use_native=False, drop_last=True, stack_batches=2,
+        shardings={f: data for f in ("images", "gt_boxes", "gt_labels",
+                                     "gt_valid")},
+    )
+    batches = list(loader)
+    n_full = n // bs
+    assert len(batches) == n_full // 2 + n_full % 2
+    stacked = batches[0]
+    assert stacked.images.shape == (2, bs, 3, 224, 224)
+    assert isinstance(stacked.images, jax.Array)
+    assert stacked.image_ids.shape == (2 * bs,)
+    if n_full % 2:  # remainder arrives plain
+        assert batches[-1].images.shape[0] == bs
+
+    # content parity with the unstacked loader
+    plain = DetectionLoader(
+        fixture_dataset, batch_size=bs, shuffle=False, device_put=False,
+        use_native=False, drop_last=True,
+    )
+    want = list(plain)
+    np.testing.assert_array_equal(
+        np.asarray(stacked.images), np.stack([want[0].images, want[1].images])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stacked.gt_boxes),
+        np.stack([want[0].gt_boxes, want[1].gt_boxes]),
+    )
