@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from layoutdit_tpu.models import vit as vit_mod
-from layoutdit_tpu.models.fpn import fpn_forward, init_fpn_params
+from layoutdit_tpu.models.fpn import (
+    conv2d,
+    fpn_forward_from_laterals,
+    init_fpn_params,
+)
 from layoutdit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
 from layoutdit_tpu.ops.interpolate import resize_bilinear
 
@@ -81,12 +85,20 @@ def backbone_forward(
         remat=remat,
     )
 
-    pyramid = []
-    for t, scale in zip(hidden, cfg.scales):
+    # The reference resizes each 768-ch tap to its pyramid scale and THEN
+    # applies the FPN's 1x1 lateral conv (dit_backbone.py:50-61 ->
+    # FeaturePyramidNetwork). A 1x1 conv is pointwise over space and
+    # bilinear resize is channelwise-independent, so they commute exactly;
+    # applying the lateral at the native 14x14 grid first cuts the lateral
+    # GEMMs ~16x for p2 (and the resized stream from 768 to 256 channels)
+    # with identical results up to fp summation order.
+    laterals = []
+    for t, scale, inner in zip(hidden, cfg.scales, params["fpn"]["inner"]):
         # [B, 1+P, D] -> drop CLS -> [B, D, gh, gw]  (dit_backbone.py:50-54)
         x = t[:, 1:, :].transpose(0, 2, 1).reshape(b, cfg.vit.hidden_size, gh, gw)
+        x = conv2d(x, inner)
         if scale != 1.0:
             x = resize_bilinear(x, int(gh * scale), int(gw * scale))
-        pyramid.append(x)
+        laterals.append(x)
 
-    return fpn_forward(params["fpn"], pyramid, extra_max_pool=True)
+    return fpn_forward_from_laterals(params["fpn"], laterals, extra_max_pool=True)

@@ -70,6 +70,26 @@ def nearest_upsample_to(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return x[..., rows, :][..., cols]
 
 
+def fpn_forward_from_laterals(
+    params: dict, laterals: list[jnp.ndarray], extra_max_pool: bool = True
+) -> list[jnp.ndarray]:
+    """Top-down + 3x3 stage only: callers that can apply the 1x1 lateral
+    convs more cheaply (e.g. before upsampling — a 1x1 conv commutes with
+    bilinear resize, see backbone_forward) pass the laterals directly."""
+    layer = params["layer"]
+    last_inner = laterals[-1]
+    results = [conv2d(last_inner, layer[-1], padding=1)]
+    for idx in range(len(laterals) - 2, -1, -1):
+        top_down = nearest_upsample_to(
+            last_inner, laterals[idx].shape[-2], laterals[idx].shape[-1]
+        )
+        last_inner = laterals[idx] + top_down
+        results.insert(0, conv2d(last_inner, layer[idx], padding=1))
+    if extra_max_pool:
+        results.append(results[-1][..., ::2, ::2])
+    return results
+
+
 def fpn_forward(
     params: dict, feats: list[jnp.ndarray], extra_max_pool: bool = True
 ) -> list[jnp.ndarray]:
@@ -79,14 +99,6 @@ def fpn_forward(
     1x1 laterals with nearest upsampling, then per-level 3x3 convs;
     LastLevelMaxPool appends x[:, :, ::2, ::2] (kernel-1 stride-2 pool).
     """
-    inner, layer = params["inner"], params["layer"]
-    last_inner = conv2d(feats[-1], inner[-1])
-    results = [conv2d(last_inner, layer[-1], padding=1)]
-    for idx in range(len(feats) - 2, -1, -1):
-        lateral = conv2d(feats[idx], inner[idx])
-        top_down = nearest_upsample_to(last_inner, lateral.shape[-2], lateral.shape[-1])
-        last_inner = lateral + top_down
-        results.insert(0, conv2d(last_inner, layer[idx], padding=1))
-    if extra_max_pool:
-        results.append(results[-1][..., ::2, ::2])
-    return results
+    inner = params["inner"]
+    laterals = [conv2d(f, p) for f, p in zip(feats, inner)]
+    return fpn_forward_from_laterals(params, laterals, extra_max_pool)

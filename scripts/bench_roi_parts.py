@@ -44,11 +44,12 @@ def gemm1(f_cat, wy, eps):
     def single(w, f):
         return jax.lax.dot_general(
             (w + eps).astype(jnp.bfloat16), f.transpose(1, 0, 2),
-            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
     return jax.vmap(single)(wy, f_cat)
 
-t = gemm1(f_cat, wy, jnp.float32(0))
+t = jax.jit(gemm1)(f_cat, wy, jnp.float32(0))
+print("t ready", t.shape, flush=True)
 
 def gemm2(t, wx, eps):
     # s[b,k,py,c,px] = sum_w t[b,k,py,c,w] wx[b,k,px,w]  (batched N=7)
@@ -75,6 +76,42 @@ def fused(f_cat, wy, wx, eps):
 
 timed("gemm1 (wy @ F, K=109)", gemm1, f_cat, wy)
 timed("gemm2 batched N=7 (t @ wx)", gemm2, t, wx)
-timed("gemm2 as VPU bcast-reduce", gemm2_vpu, t, wx)
 timed("gemm1+gemm2 fused (XLA)", fused, f_cat, wy, wx)
 timed("box head 2xFC", box_head, pooled)
+
+
+# Grouped block-diagonal gemm2: pack G rois' wx into one [G*W, G*P] block-
+# diagonal rhs so the MXU sees N = G*P = 126 lanes instead of 7. FLOPs grow
+# G-fold (the off-diagonal blocks are zeros) but utilization grows ~18x.
+G = 18
+K_TOT = B * KPI            # 8192
+NG = K_TOT // G            # 455 groups (pad to exact)
+K_PAD = NG * G
+
+def grouped(f_cat, wy, wx, eps):
+    wyf = (wy + eps).reshape(K_TOT, P, H_A)[:K_PAD].reshape(NG, G, P, H_A)
+    wxf = (wx + eps).reshape(K_TOT, P, W_A)[:K_PAD].reshape(NG, G, P, W_A)
+    # f per group: group g contains rois of image k = (g*G + i)//KPI; a
+    # group can straddle two images. For the bench just use image 0's
+    # feature for all (shapes/perf identical; correctness handled in the
+    # real impl by keeping groups within one image).
+    f3 = f_cat[0].transpose(1, 0, 2)  # [H, C, W]
+    # t5[n, i, py, c, w]
+    t5 = jax.lax.dot_general(
+        wyf.astype(jnp.bfloat16), f3.astype(jnp.bfloat16),
+        (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # [NG, G, P, C, W]
+    # block-diag rhs B5[n, i, w, j, px] = delta_ij wx[n, i, px, w]
+    eye = jnp.eye(G, dtype=jnp.bfloat16)
+    b5 = (
+        wxf.astype(jnp.bfloat16).transpose(0, 1, 3, 2)[:, :, :, None, :]
+        * eye[None, :, None, :, None]
+    )  # [NG, G(i), W, G(j), P]
+    out = jax.lax.dot_general(
+        t5, b5,
+        (((1, 4), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [NG, P(py), C, G(j), P(px)]
+    return out.astype(jnp.bfloat16)
+
+timed("grouped g1+g2 (G=18 block-diag)", grouped, f_cat, wy, wx)

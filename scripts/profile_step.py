@@ -141,6 +141,22 @@ def main() -> None:
         )(props.boxes, props.valid, gt_boxes, gt_labels, gt_valid, keys)
         return samples.rois
 
+    def s_pool(params, images, i):
+        feats, ob, dl = _run_trunk(params, images, cfg)
+        props = rpn_mod.filter_proposals(
+            ob, dl, anchors, counts, (224, 224), cfg.budget, training=True
+        )
+        keys = jax.random.split(key_of(i), b)
+        samples = jax.vmap(
+            lambda p, v, gb, gl, gv, k: select_training_samples_single(
+                p, v, gb, gl, gv, cfg.budget, k
+            )
+        )(props.boxes, props.valid, gt_boxes, gt_labels, gt_valid, keys)
+        logits, deltas = _pool_and_predict(
+            params, feats, samples.rois, samples.valid, cfg
+        )
+        return logits
+
     def s_full_fwd(params, images, i):
         losses = detector_loss(
             params, key_of(i), images, gt_boxes, gt_labels, gt_valid, cfg
@@ -184,7 +200,8 @@ def main() -> None:
         ("+ rpn loss (match/sample)", s_rpn_loss),
         ("+ filter_proposals (decode+NMS)", s_proposals),
         ("+ select_training_samples", s_samples),
-        ("full fwd (+RoIAlign+heads+losses)", s_full_fwd),
+        ("+ RoIAlign + box head/predictor", s_pool),
+        ("full fwd (+ losses)", s_full_fwd),
         ("fwd + bwd", s_fwd_bwd),
         ("train step (+AdamW)", s_train_step),
     ]
