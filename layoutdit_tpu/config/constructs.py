@@ -153,6 +153,10 @@ class DetectionBudget(BaseModel):
     rpn_positive_fraction: float = 0.5
     rpn_score_thresh: float = 0.0
     rpn_min_size: float = 1e-3
+    # NMS tile (perf knob, numerics-neutral): boxes are processed in
+    # score-sorted tiles of this size; larger tiles = fewer sequential
+    # device steps, bigger per-tile fixpoint problems.
+    rpn_nms_tile: int = 128
 
     box_fg_iou_thresh: float = 0.5
     box_bg_iou_thresh: float = 0.5

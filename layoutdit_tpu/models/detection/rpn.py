@@ -105,6 +105,7 @@ def filter_proposals_single(
                 scores[start : start + k],
                 budget.rpn_nms_thresh,
                 valid=valid[start : start + k],
+                tile=budget.rpn_nms_tile,
             )
         )
         start += k

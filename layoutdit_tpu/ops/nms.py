@@ -69,6 +69,7 @@ def nms_mask(
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    tile: int = TILE,
 ) -> jnp.ndarray:
     """Greedy NMS keep-mask.
 
@@ -82,10 +83,11 @@ def nms_mask(
       [N] bool keep-mask in the ORIGINAL box order.
     """
     n = boxes.shape[0]
+    TILE_ = tile
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-scores, stable=True)
-    n_pad = (n + TILE - 1) // TILE * TILE
+    n_pad = (n + TILE_ - 1) // TILE_ * TILE_
     boxes_s = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
         boxes[order].astype(jnp.float32)
     )
@@ -112,22 +114,22 @@ def nms_mask(
     union = area[:, None] + area[None, :] - inter
     overlap_all = inter > thr * union  # [N_pad, N_pad] bool
 
-    num_tiles = n_pad // TILE
-    tri = jnp.triu(jnp.ones((TILE, TILE), bool), k=1)
+    num_tiles = n_pad // TILE_
+    tri = jnp.triu(jnp.ones((TILE_, TILE_), bool), k=1)
     positions = jnp.arange(n_pad)
 
     def tile_step(i, keep):
-        start = i * TILE
+        start = i * TILE_
         cross = jax.lax.dynamic_slice(
-            overlap_all, (0, start), (n_pad, TILE)
+            overlap_all, (0, start), (n_pad, TILE_)
         )  # [N_pad, T] — suppression OF this tile BY any earlier box
-        tile_valid = jax.lax.dynamic_slice_in_dim(valid_s, start, TILE)
+        tile_valid = jax.lax.dynamic_slice_in_dim(valid_s, start, TILE_)
         earlier_kept = keep & (positions < start)
         dead_prev = jnp.any(cross & earlier_kept[:, None], axis=0)
         alive = tile_valid & ~dead_prev
         # exact greedy within the tile
         overlap = (
-            jax.lax.dynamic_slice(overlap_all, (start, start), (TILE, TILE))
+            jax.lax.dynamic_slice(overlap_all, (start, start), (TILE_, TILE_))
             & tri
         )
         kept_tile = _within_tile_greedy(overlap, alive)

@@ -84,6 +84,7 @@ def main() -> None:
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--attn", default=None, help="override attention_impl")
     ap.add_argument("--roi", default=None, help="override roi_impl")
+    ap.add_argument("--nms-tile", type=int, default=None)
     args = ap.parse_args()
 
     kw = {}
@@ -91,6 +92,9 @@ def main() -> None:
         kw["attention_impl"] = args.attn
     if args.roi:
         kw["roi_impl"] = args.roi
+    if args.nms_tile:
+        from layoutdit_tpu.config.constructs import DetectionBudget
+        kw["budget"] = DetectionBudget(rpn_nms_tile=args.nms_tile)
     cfg = DetectorConfig(compute_dtype="bfloat16", **kw)
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainingConfig(), steps_per_epoch=1000)
