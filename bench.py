@@ -22,8 +22,11 @@ import time
 os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
 
 # Round-1 recorded value for this metric on a single v5e chip
-# (dit-base, bs16, bf16, full Faster R-CNN train step incl. optimizer).
-BASELINE_BENCH = 219.0  # images/sec/chip
+# (dit-base, bs16, bf16, full Faster R-CNN train step incl. optimizer) —
+# BENCH_r01.json. The reference publishes NO numbers (BASELINE.md), so
+# vs_baseline tracks this framework's own round-1 figure: >1.0 = faster
+# than round 1, not "faster than the PyTorch reference".
+BASELINE_BENCH = 225.88  # images/sec/chip (BENCH_r01.json)
 
 
 def main() -> None:
@@ -50,6 +53,11 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    # scan unroll: chains N step bodies per scan iteration so XLA keeps
+    # carried params in compute-friendly layouts across them instead of
+    # round-tripping the canonical carry layout every step (the trace
+    # showed ~5 ms/step of param copy-starts at unroll=1).
+    unroll = int(os.environ.get("BENCH_UNROLL", 5))
 
     cfg = DetectorConfig(compute_dtype="bfloat16")
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
@@ -84,7 +92,7 @@ def main() -> None:
     def run(params, opt_state, key):
         keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), keys
+            one_step, (params, opt_state), keys, unroll=unroll
         )
         return losses
 

@@ -155,8 +155,9 @@ class DetectionBudget(BaseModel):
     rpn_min_size: float = 1e-3
     # NMS tile (perf knob, numerics-neutral): boxes are processed in
     # score-sorted tiles of this size; larger tiles = fewer sequential
-    # device steps, bigger per-tile fixpoint problems.
-    rpn_nms_tile: int = 128
+    # device steps, bigger per-tile fixpoint problems. 256 measured 0.5 ms
+    # faster than 128 on the bs16 train step (v5e).
+    rpn_nms_tile: int = 256
 
     box_fg_iou_thresh: float = 0.5
     box_bg_iou_thresh: float = 0.5

@@ -214,7 +214,7 @@ def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
             canonical_scale=float(cfg.image_size),
             roi_mask=valid_i,
             impl=cfg.roi_impl,
-            native_layout=True,  # box head contracts [K, Py, C, Px] directly
+            native_layout=True,  # box head contracts [K, Px, Py, C] directly
         )
         rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
         return predictor_forward(params["box_predictor"], rep)

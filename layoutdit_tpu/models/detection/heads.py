@@ -104,27 +104,28 @@ def init_box_head_params(
     pooled_shape: tuple[int, int, int] | None = None,
 ) -> dict:
     """TwoMLPHead params. With ``pooled_shape=(C, P, P)`` the fc6 kernel is
-    stored in the RoIAlign contraction-native layout [P, C, P, rep] so the
-    box head can contract the pooled 4D tensor directly (no flatten /
-    relayout of the [K, 12544] activation stream). A torchvision
-    state_dict import must permute fc6 rows (c, py, px) -> (py, c, px)
+    stored in the RoIAlign contraction-native layout [P(x), P(y), C, rep]
+    so the box head can contract the pooled 4D tensor directly (no
+    flatten / relayout of the [K, 12544] activation stream). A torchvision
+    state_dict import must permute fc6 rows (c, py, px) -> (px, py, c)
     to match (see weights_io notes)."""
     k1, k2 = jax.random.split(key)
     fc6 = _torch_linear(k1, in_features, rep_size)
     if pooled_shape is not None:
         c, p1, p2 = pooled_shape
         fc6["kernel"] = (
-            fc6["kernel"].reshape(c, p1, p2, rep_size).transpose(1, 0, 2, 3)
-        )  # [P(y), C, P(x), rep]
+            fc6["kernel"].reshape(c, p1, p2, rep_size).transpose(2, 1, 0, 3)
+        )  # [P(x), P(y), C, rep]
     return {"fc6": fc6, "fc7": _torch_linear(k2, rep_size, rep_size)}
 
 
 def box_head_forward(params: dict, pooled: jnp.ndarray) -> jnp.ndarray:
     """Pooled RoIs -> [K, rep] (TwoMLPHead).
 
-    pooled is [K, P, C, P] (RoIAlign native layout) when fc6's kernel is
-    4D [P, C, P, rep] — contracted directly with no flatten; or the
-    legacy flattened path when fc6 is 2D."""
+    pooled is [K, Px, Py, C] (RoIAlign native layout) when fc6's kernel
+    is 4D [Px, Py, C, rep] — contracted directly with no flatten; or the
+    legacy flattened path (pooled [K, C, Py, Px] row-major) when fc6 is
+    2D."""
     fc6 = params["fc6"]
     if fc6["kernel"].ndim == 4:
         y = jax.lax.dot_general(

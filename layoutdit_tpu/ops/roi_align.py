@@ -116,7 +116,7 @@ def roi_align(
 def pooled_from_weights_native(
     feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
 ) -> jnp.ndarray:
-    """pooled[k, py, c, px] = (Wy[k] @ F @ Wx[k]^T) via two MXU
+    """pooled[k, px, py, c] = (Wy[k] @ F @ Wx[k]^T) via two MXU
     contractions, in the contraction-NATIVE layout (no trailing
     transpose — the box head contracts this 4D tensor directly, see
     heads.box_head_forward). Custom VJP keeps the fat [K, P, C, W]
@@ -135,13 +135,17 @@ def pooled_from_weights_native(
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cdtype)
-    # Step 2: s[k, p, c, px] = sum_w t[k, p, c, w] wx[k, px, w]  (batched)
+    # Step 2: s[k, px, py, c] = sum_w wx[k, px, w] t[k, py, c, w]
+    # Operand order matters enormously on v5e: wx-as-lhs (M=P(x)=7,
+    # N=(py,c)=1792) measured 3.9 ms vs 9.8 ms for t-as-lhs (M=1792,
+    # N=7) at bs16 PubLayNet shapes (scripts/bench_gemm2.py) — the wide-N
+    # form keeps the MXU lanes full.
     s = jax.lax.dot_general(
-        t,
         wx.astype(cdtype),  # [K, P(x), W]
-        dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+        t,
+        dimension_numbers=(((2,), (3,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(cdtype)  # [K, P(py), C, P(px)]
+    ).astype(cdtype)  # [K, P(px), P(py), C]
     return s
 
 
@@ -157,15 +161,15 @@ def _pooled_bwd(res, ds):
     """
     feature, wy, wx = res
     cdtype = feature.dtype
-    ds = ds.astype(cdtype)  # [K, P, C, P(px)] — already contraction-native
+    ds = ds.astype(cdtype)  # [K, P(px), P(py), C] — contraction-native
     # Multi-dim dot_generals, no manual reshapes (see forward).
-    # dt[k, py, c, w] = sum_px ds[k, py, c, px] wx[k, px, w]
+    # dt[k, py, c, w] = sum_px ds[k, px, py, c] wx[k, px, w]
     dt = jax.lax.dot_general(
         ds,
         wx.astype(cdtype),  # [K, P(px), W]
-        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(cdtype)  # [K, P, C, W]
+    ).astype(cdtype)  # [K, P(py), C, W]
     # df[h, c, w] = sum_{k, p} wy[k, p, h] dt[k, p, c, w]  (one big GEMM)
     df = jax.lax.dot_general(
         wy.astype(cdtype),
@@ -184,7 +188,7 @@ def pooled_from_weights(
     feature: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
 ) -> jnp.ndarray:
     """torchvision-layout wrapper: [K, C, py, px]."""
-    return pooled_from_weights_native(feature, wy, wx).transpose(0, 2, 1, 3)
+    return pooled_from_weights_native(feature, wy, wx).transpose(0, 3, 2, 1)
 
 
 def multiscale_roi_align(
@@ -218,7 +222,7 @@ def multiscale_roi_align(
     ~2x less HBM traffic (a single [K, P, C, W_max] intermediate instead
     of one per level) and a near-128 contraction dim for the MXU.
 
-    Returns: [K, C, output_size, output_size], or [K, P(y), C, P(x)] when
+    Returns: [K, C, output_size, output_size], or [K, P(x), P(y), C] when
     ``native_layout=True`` (the contraction-native layout the box head
     consumes directly — saves two full relayouts of the pooled stream).
     """
@@ -279,7 +283,7 @@ def multiscale_roi_align(
             f_cat, wy_cat, wx_cat, interpret=impl == "pallas_interpret"
         )  # [K, Py, Px, C]
         if native_layout:
-            return out.transpose(0, 1, 3, 2)  # [K, Py, C, Px]
+            return out.transpose(0, 2, 1, 3)  # [K, Px, Py, C]
         return out.transpose(0, 3, 1, 2)  # [K, C, Py, Px]
 
     if native_layout:
