@@ -56,8 +56,10 @@ def main() -> None:
     # scan unroll: chains N step bodies per scan iteration so XLA keeps
     # carried params in compute-friendly layouts across them instead of
     # round-tripping the canonical carry layout every step (the trace
-    # showed ~5 ms/step of param copy-starts at unroll=1).
-    unroll = int(os.environ.get("BENCH_UNROLL", 5))
+    # showed ~5 ms/step of param copy-starts at unroll=1; measured
+    # 336.9 / 343.5 / 362.9 img/s at unroll 1 / 5 / 10). Full unroll is
+    # still real sequential training — params chain step to step.
+    unroll = int(os.environ.get("BENCH_UNROLL", steps))
 
     cfg = DetectorConfig(compute_dtype="bfloat16")
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
