@@ -183,6 +183,11 @@ class Trainer:
             (params, opt_state, _), losses = jax.lax.scan(
                 body, (params, opt_state, rng),
                 (images, gt_boxes, gt_labels, gt_valid),
+                # unrolling lets XLA keep the carried params in compute-
+                # friendly layouts across chained steps instead of
+                # round-tripping the canonical carry layout per step
+                # (~5 ms/step measured at unroll=1, bench.py notes)
+                unroll=min(4, self.config.train_config.steps_per_dispatch),
             )
             return params, opt_state, losses
 

@@ -61,7 +61,8 @@ def build_step(cfg, tx, gt):
     def run(params, opt_state, images, key, steps):
         keys = jax.random.split(key, steps)
         (params, opt_state, _), losses = jax.lax.scan(
-            one_step, (params, opt_state, images), keys
+            one_step, (params, opt_state, images), keys,
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         )
         return losses
 
