@@ -235,22 +235,23 @@ def test_detector_overfits_tiny_batch():
     tx = optax.adamw(3e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(p, s, r):
+    def step(carry, r):
+        p, s = carry
+
         def total(p):
             d = detector_loss(p, r, images, gt_boxes, gt_labels, gt_valid, cfg)
             return sum(d.values())
 
         loss, g = jax.value_and_grad(total)(p)
         updates, s = tx.update(g, s, p)
-        return optax.apply_updates(p, updates), s, loss
+        return (optax.apply_updates(p, updates), s), loss
 
-    losses = []
-    key = jax.random.PRNGKey(42)
-    for i in range(120):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
-        losses.append(float(loss))
+    @jax.jit
+    def run(p, s, key):
+        return jax.lax.scan(step, (p, s), jax.random.split(key, 120))
+
+    (params, opt_state), losses = run(params, opt_state, jax.random.PRNGKey(42))
+    losses = np.asarray(losses)
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
 
     dets = jax.jit(lambda p: detector_predict(p, images, cfg))(params)
