@@ -166,7 +166,8 @@ def postprocess_detections_single(
     cand_valid = jnp.isfinite(top_scores)
 
     keep = batched_nms_mask(
-        boxes, top_scores, labels, budget.box_nms_thresh, valid=cand_valid
+        boxes, top_scores, labels, budget.box_nms_thresh, valid=cand_valid,
+        tile=budget.rpn_nms_tile,
     )
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
     d = budget.box_detections_per_img

@@ -147,6 +147,7 @@ def batched_nms_mask(
     idxs: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    tile: int = TILE,
 ) -> jnp.ndarray:
     """Category-aware NMS (torchvision batched_nms coordinate-offset trick).
 
@@ -158,4 +159,4 @@ def batched_nms_mask(
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0))
     offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
     shifted = boxes + offsets[:, None]
-    return nms_mask(shifted, scores, iou_threshold, valid=valid)
+    return nms_mask(shifted, scores, iou_threshold, valid=valid, tile=tile)
