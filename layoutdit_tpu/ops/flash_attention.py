@@ -37,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Measured v5e crossover: XLA batched attention wins below ~1k tokens,
-# the flash kernel above (scripts/bench_attention.py).
-AUTO_FLASH_MIN_SEQ = 1024
+# Measured v5e crossover (scripts/bench_attention_sizes.py, full 12-layer
+# encoder on chip): XLA batched attention wins at 1025 tokens (16.6 vs
+# 20.1 ms), ties at 2117 (24.9 vs 23.6), and flash wins 2.6x at 4097
+# (82.4 vs 31.1 ms — XLA's O(N^2) f32 score tensor blows past cache).
+AUTO_FLASH_MIN_SEQ = 2048
 MAX_BLOCK = 512
 
 
