@@ -155,9 +155,10 @@ class DetectionBudget(BaseModel):
     rpn_min_size: float = 1e-3
     # NMS tile (perf knob, numerics-neutral): boxes are processed in
     # score-sorted tiles of this size; larger tiles = fewer sequential
-    # device steps, bigger per-tile fixpoint problems. 256 measured 0.5 ms
-    # faster than 128 on the bs16 train step (v5e).
-    rpn_nms_tile: int = 256
+    # device steps, bigger per-tile fixpoint problems. 512 is the measured
+    # best on the bs16 train step (v5e): 362.9 -> 369.4 img/s vs 256
+    # (PERF_STAGES.md) — the default matches the published headline.
+    rpn_nms_tile: int = 512
 
     box_fg_iou_thresh: float = 0.5
     box_bg_iou_thresh: float = 0.5
@@ -167,6 +168,10 @@ class DetectionBudget(BaseModel):
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
     box_detections_per_img: int = 100
+    # Second-stage (per-class) NMS tile — independent of rpn_nms_tile so
+    # the two stages can be tuned/documented separately (numerics-neutral;
+    # 512 measured best for the inference postprocess too, bench_infer.py).
+    box_nms_tile: int = 512
 
 
 class ModelConfig(BaseModel):

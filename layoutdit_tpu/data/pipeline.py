@@ -136,15 +136,27 @@ class DetectionLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _pool(self):
-        """Lazy shared decode thread-pool (PIL fallback path)."""
+        """Lazy shared decode thread-pool (PIL fallback path). Registered
+        for shutdown at GC time so each loader instance does not leak its
+        worker threads for the process lifetime."""
         if getattr(self, "_decode_pool", None) is None:
+            import weakref
             from concurrent.futures import ThreadPoolExecutor
 
-            self._decode_pool = ThreadPoolExecutor(
+            pool = ThreadPoolExecutor(
                 max_workers=self.num_workers,
                 thread_name_prefix="ld-decode",
             )
+            self._decode_pool = pool
+            weakref.finalize(self, pool.shutdown, wait=False)
         return self._decode_pool
+
+    def close(self) -> None:
+        """Release the decode pool's worker threads (idempotent)."""
+        pool = getattr(self, "_decode_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._decode_pool = None
 
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))

@@ -167,7 +167,7 @@ def postprocess_detections_single(
 
     keep = batched_nms_mask(
         boxes, top_scores, labels, budget.box_nms_thresh, valid=cand_valid,
-        tile=budget.rpn_nms_tile,
+        tile=budget.box_nms_tile,
     )
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
     d = budget.box_detections_per_img

@@ -281,6 +281,11 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
     qp, kp, vp, op, dop = pad(q), pad(k), pad(v), pad(o), pad(do)
+    # residual lse is [BH, N, 1] (one lane); the kernels read it as a
+    # lane-replicated [*, 128] block — a cheap XLA broadcast here.
+    lse = jnp.broadcast_to(lse[:, :, :1], (bh, lse.shape[1], 128))
+    if lse.shape[1] != n_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, n_pad - lse.shape[1]), (0, 0)))
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, kk, 0),
                           memory_space=pltpu.VMEM)
@@ -367,7 +372,13 @@ def _flash_core(q, k, v, bias, scale, block_q, block_k, interpret):
 
 def _flash_core_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
     o, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
-    return o, (q, k, v, bias, o, lse)
+    # The kernel emits lse lane-replicated [BH, N_pad, 128] (Mosaic block
+    # tiling cannot express a [*, Bq] row-vector output). Keep only ONE
+    # lane as the residual — 128x less HBM held across the layer stack —
+    # and re-broadcast in the backward. The bias path uses _bwd_reference
+    # and needs no lse at all.
+    lse1 = None if bias is not None else lse[:, :, :1]
+    return o, (q, k, v, bias, o, lse1)
 
 
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):

@@ -147,18 +147,33 @@ def load_checkpoint_sharded(
         sharding = getattr(x, "sharding", None)
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
 
+    try:
+        with fsspec.open(path.rstrip("/") + ".meta.json", "r") as f:
+            meta = json.loads(f.read())
+    except FileNotFoundError:
+        meta = {"epoch": 0, "extra": {}}
+
     target = {"params": jax.tree_util.tree_map(as_abstract, params_template)}
     if opt_state_template is not None:
         target["opt_state"] = jax.tree_util.tree_map(
             as_abstract, opt_state_template
         )
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(path, target)
-    try:
-        with fsspec.open(path.rstrip("/") + ".meta.json", "r") as f:
-            meta = json.loads(f.read())
-    except FileNotFoundError:
-        meta = {"epoch": 0, "extra": {}}
+        if opt_state_template is None and meta.get("has_opt_state"):
+            # Checkpoints written from training carry an 'opt_state'
+            # subtree; orbax raises on a tree-structure mismatch, so a
+            # params-only restore must still name it in the target. Build
+            # abstract structs from the stored metadata (host-replicated —
+            # the subtree is dropped immediately after restore).
+            md = ckptr.metadata(path)
+            opt_md = md["opt_state"] if isinstance(md, dict) else md.opt_state
+            target["opt_state"] = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), opt_md
+            )
+            state = ckptr.restore(path, target)
+            state.pop("opt_state", None)
+        else:
+            state = ckptr.restore(path, target)
     return {
         "params": state["params"],
         "opt_state": state.get("opt_state"),
