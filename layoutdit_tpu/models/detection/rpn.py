@@ -59,8 +59,17 @@ def _per_level_topk(
         ob = jax.lax.dynamic_slice_in_dim(objectness, start, count)
         dl = jax.lax.dynamic_slice_in_dim(deltas, start, count)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, count)
-        top_v, top_i = jax.lax.top_k(ob, k)
-        parts.append((top_v, dl[top_i], an[top_i], jnp.full((k,), li, jnp.int32)))
+        if k == count:
+            # whole level selected: skip the sort (NMS re-sorts its slice
+            # and the final top-k orders globally, so only tie-breaking
+            # among exactly-equal scores could differ — measured ~0.2 ms
+            # across the three small FPN levels)
+            parts.append((ob, dl, an, jnp.full((k,), li, jnp.int32)))
+        else:
+            top_v, top_i = jax.lax.top_k(ob, k)
+            parts.append(
+                (top_v, dl[top_i], an[top_i], jnp.full((k,), li, jnp.int32))
+            )
         start += count
     logits = jnp.concatenate([p[0] for p in parts])
     d = jnp.concatenate([p[1] for p in parts])
@@ -202,6 +211,41 @@ def balanced_sample(
     )
 
 
+def balanced_sample_with_pos(
+    labels: jnp.ndarray,  # [N] in {1, 0, -1}
+    rng: jax.Array,
+    batch_size: int,
+    positive_fraction: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``balanced_sample`` (identical RNG stream and selection) that also
+    returns the positive slots as INDICES so the box-regression targets
+    can be computed on [max_pos] rows instead of all N anchors (the
+    full-anchor encode+gather measured 0.84 ms/step at bs16 —
+    scripts/trace_step.py fusion.4929).
+
+    Returns (sampled_mask [N], pos_idx [max_pos], pos_take [max_pos])."""
+    n = labels.shape[0]
+    k_pos, k_neg = jax.random.split(rng)
+    pos = labels == 1
+    neg = labels == 0
+    max_pos = int(batch_size * positive_fraction)
+    num_pos = jnp.minimum(pos.sum(), max_pos)
+    num_neg = jnp.minimum(neg.sum(), batch_size - num_pos)
+
+    pri_pos = jnp.where(pos, jax.random.uniform(k_pos, (n,)), -jnp.inf)
+    _, pos_idx = jax.lax.top_k(pri_pos, max_pos)
+    pos_take = jnp.arange(max_pos) < num_pos
+
+    pri_neg = jnp.where(neg, jax.random.uniform(k_neg, (n,)), -jnp.inf)
+    _, neg_idx = jax.lax.top_k(pri_neg, batch_size)
+    neg_take = jnp.arange(batch_size) < num_neg
+
+    mask = jnp.zeros((n,), bool).at[pos_idx].set(pos_take) | jnp.zeros(
+        (n,), bool
+    ).at[neg_idx].set(neg_take)
+    return mask, pos_idx, pos_take
+
+
 def smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
     ax = jnp.abs(x)
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
@@ -221,24 +265,31 @@ def rpn_loss(
     total sampled, both normalized across the whole batch."""
     b = objectness.shape[0]
 
-    def per_image(gt_b, gt_v, key):
+    def per_image(gt_b, gt_v, dl, key):
         midx, labels = match_anchors_to_gt(
             anchors, gt_b, gt_v,
             budget.rpn_fg_iou_thresh, budget.rpn_bg_iou_thresh,
             allow_low_quality=True,
         )
-        sampled = balanced_sample(
+        sampled, pos_idx, pos_take = balanced_sample_with_pos(
             labels, key, budget.rpn_batch_size_per_image,
             budget.rpn_positive_fraction,
         )
-        matched_gt = gt_b[midx]
-        reg_targets = encode_boxes(matched_gt, anchors)
-        return labels, sampled, reg_targets
+        # Regression targets ONLY at the sampled positive slots
+        # ([max_pos] rows) — numerically identical to encoding all N
+        # anchors and masking, at ~1/100 of the gather/encode volume.
+        reg_targets = encode_boxes(gt_b[midx[pos_idx]], anchors[pos_idx])
+        l1 = smooth_l1(
+            dl[pos_idx].astype(jnp.float32) - reg_targets, beta=1.0 / 9
+        ).sum(-1)
+        l1_sum = jnp.where(pos_take, l1, 0.0).sum()
+        return labels, sampled, l1_sum
 
     keys = jax.random.split(rng, b)
-    labels, sampled, reg_targets = jax.vmap(per_image)(gt_boxes, gt_valid, keys)
+    labels, sampled, l1_sums = jax.vmap(per_image)(
+        gt_boxes, gt_valid, deltas, keys
+    )
 
-    pos = sampled & (labels == 1)
     num_sampled = jnp.maximum(sampled.sum(), 1)
 
     ob32 = objectness.astype(jnp.float32)
@@ -247,6 +298,5 @@ def rpn_loss(
     )
     loss_obj = jnp.where(sampled, bce, 0.0).sum() / num_sampled
 
-    l1 = smooth_l1(deltas.astype(jnp.float32) - reg_targets, beta=1.0 / 9).sum(-1)
-    loss_box = jnp.where(pos, l1, 0.0).sum() / num_sampled
+    loss_box = l1_sums.sum() / num_sampled
     return loss_obj, loss_box

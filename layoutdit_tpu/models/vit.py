@@ -212,6 +212,11 @@ def _attention(
         from layoutdit_tpu.ops.flash_attention import AUTO_FLASH_MIN_SEQ
 
         impl = "pallas" if n >= AUTO_FLASH_MIN_SEQ else "xla"
+        if impl == "pallas" and jax.default_backend() != "tpu":
+            # Mosaic kernels only compile for TPU; on the CPU backend
+            # (tests, local dev) "auto" must stay on the XLA path —
+            # explicit impl="pallas" still works via interpret mode.
+            impl = "xla"
 
     if impl == "pallas":
         from layoutdit_tpu.ops.flash_attention import flash_attention
@@ -258,6 +263,26 @@ def _gather_rel_bias(table: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     return bias.transpose(2, 0, 1)[None]
 
 
+def _rel_table_for_grid(table: jnp.ndarray, g0: int, g: int) -> jnp.ndarray:
+    """Resample a BEiT relative-position-bias table trained at grid g0 for
+    a (g, g) input grid — HF BeitRelativePositionBias.forward semantics
+    (modeling_beit.py interpolate_pos_encoding path, behind the reference's
+    dit_backbone.py:26-31): the (2g0-1)^2 offset entries are bilinearly
+    resized on their (2g0-1, 2g0-1) grid (torch F.interpolate bilinear,
+    align_corners=False); the 3 special CLS entries pass through."""
+    if g == g0:
+        return table
+    from layoutdit_tpu.ops.interpolate import resize_bilinear
+
+    heads = table.shape[1]
+    old = 2 * g0 - 1
+    new = 2 * g - 1
+    patch = table[:-3].reshape(old, old, heads).transpose(2, 0, 1)
+    patch = resize_bilinear(patch, new, new)
+    patch = patch.transpose(1, 2, 0).reshape(new * new, heads)
+    return jnp.concatenate([patch, table[-3:]], axis=0)
+
+
 def vit_forward(
     params: dict,
     pixels: jnp.ndarray,
@@ -271,10 +296,10 @@ def vit_forward(
     0 = embedding output, i = output of layer i). Empty taps -> [final].
 
     pixels: [B, C, H, W] float (already normalized). H, W must be multiples
-    of patch_size. Absolute position embeddings are bicubically resampled
-    for grids other than the trained one (HF interpolate_pos_encoding
-    parity) — high-res document pages just work; per-layer relative
-    position bias still requires the native grid.
+    of patch_size. For grids other than the trained one, absolute position
+    embeddings are bicubically resampled and relative-position-bias tables
+    bilinearly resampled (both HF interpolate_pos_encoding parity) —
+    high-res document pages work for every BEiT-family checkpoint.
     """
     taps = tuple(taps) or (cfg.num_hidden_layers,)
     _, _, img_h, img_w = pixels.shape
@@ -292,11 +317,25 @@ def vit_forward(
         )
 
     n = x.shape[1]
+    rel_grid = None
+    if "shared_rel_pos_table" in params or any(
+        "rel_pos_table" in l for l in params["layers"]
+    ):
+        if gh != gw:
+            raise ValueError(
+                "relative position bias requires a square patch grid "
+                f"(got {gh}x{gw}); absolute-pos models handle any grid"
+            )
+        rel_grid = gh
     shared_bias = None
     if "shared_rel_pos_table" in params:
-        idx = jnp.asarray(relative_position_index(cfg.grid_size))
-        assert idx.shape[0] == n, "rel-pos bias requires full-grid input"
-        shared_bias = _gather_rel_bias(params["shared_rel_pos_table"], idx)
+        idx = jnp.asarray(relative_position_index(rel_grid))
+        shared_bias = _gather_rel_bias(
+            _rel_table_for_grid(
+                params["shared_rel_pos_table"], cfg.grid_size, rel_grid
+            ),
+            idx,
+        )
 
     # collect by layer index, then emit in tap order (taps may repeat for
     # very shallow test configs)
@@ -307,8 +346,13 @@ def vit_forward(
     def run_layer(x, layer):
         bias = shared_bias
         if "rel_pos_table" in layer:
-            idx = jnp.asarray(relative_position_index(cfg.grid_size))
-            own = _gather_rel_bias(layer["rel_pos_table"], idx)
+            idx = jnp.asarray(relative_position_index(rel_grid))
+            own = _gather_rel_bias(
+                _rel_table_for_grid(
+                    layer["rel_pos_table"], cfg.grid_size, rel_grid
+                ),
+                idx,
+            )
             bias = own if bias is None else own + bias
         attn = _attention(
             _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),

@@ -12,11 +12,13 @@ Layout: inputs [B, N, H, D] (the encoder's natural layout), computed as a
 [H, N, N] (BEiT relative position bias) and right-padding of N to the
 block size.
 
-Backward: two Pallas kernels (dKdV sweep over q-blocks, dQ sweep over
+Backward: Pallas kernels (dKdV sweep over q-blocks, dQ sweep over
 kv-blocks) using the standard recompute-with-lse flash formulation — the
 forward saves only (o, lse); p is recomputed blockwise so backward HBM
-traffic is also O(N*D). The bias path falls back to an exact XLA backward
-(dbias needs the materialized score grad; BEiT rel-pos-bias models only).
+traffic is also O(N*D). The bias path (BEiT relative position bias) adds
+a third kernel that recomputes dS blockwise and reduces it over the batch
+grid dimension into a resident [H, Nq, Nk] block — no O(B*H*N^2) gradient
+tensor is ever materialized.
 
 Measured on v5e (see scripts/bench_attention.py): at the reference's
 224*224 resolution (N=197) XLA's batched-matmul attention wins (grid
@@ -187,12 +189,15 @@ def _fwd_kernel_nobias(q_ref, k_ref, v_ref, o_ref, lse_ref,
 #   dS = p * (dP - D) ; dQ = dS K * scale ; dK = dS^T Q * scale
 
 
-def _recompute_p(q_ref, k_ref, lse_ref, *, scale, n_valid, block_k, kv_i):
+def _recompute_p(q_ref, k_ref, lse_ref, *, scale, n_valid, block_k, kv_i,
+                 bias=None):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)  # before the col mask, as forward
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * block_k
     s = jnp.where(col < n_valid, s, NEG_INF)
     # lse is lane-replicated [Bq, 128]; a max-reduce recovers the scalar
@@ -209,7 +214,7 @@ def _dvec(o_ref, do_ref):
     )
 
 
-def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, bias_ref,
                      dk_ref, dv_ref, dk_scr, dv_scr,
                      *, scale, n_valid, block_k, nq):
     q_i = pl.program_id(2)
@@ -220,7 +225,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     p = _recompute_p(q_ref, k_ref, lse_ref, scale=scale, n_valid=n_valid,
-                     block_k=block_k, kv_i=pl.program_id(1))  # [Bq, Bk]
+                     block_k=block_k, kv_i=pl.program_id(1),
+                     bias=None if bias_ref is None else bias_ref[0])
     do = do_ref[0].astype(jnp.float32)  # [Bq, D]
     # dV += P^T dO
     dv_scr[:] += jax.lax.dot_general(
@@ -244,7 +250,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, bias_ref,
                    dq_ref, dq_scr, *, scale, n_valid, block_k, nkv):
     kv_i = pl.program_id(2)
 
@@ -253,7 +259,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     p = _recompute_p(q_ref, k_ref, lse_ref, scale=scale, n_valid=n_valid,
-                     block_k=block_k, kv_i=kv_i)
+                     block_k=block_k, kv_i=kv_i,
+                     bias=None if bias_ref is None else bias_ref[0])
     do = do_ref[0].astype(jnp.float32)
     dp = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -270,8 +277,48 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
-    """Pallas backward (no-bias path) -> (dq, dk, dv)."""
+def _bwd_dkdv_nobias(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dk_ref, dv_ref, dk_scr, dv_scr, **kw):
+    _bwd_dkdv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, None,
+                     dk_ref, dv_ref, dk_scr, dv_scr, **kw)
+
+
+def _bwd_dq_nobias(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                   dq_ref, dq_scr, **kw):
+    _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, None,
+                   dq_ref, dq_scr, **kw)
+
+
+def _dbias_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, bias_ref,
+                  dbias_ref, *, scale, n_valid, block_k):
+    """dbias[h, i, j] = sum_b dS[b*H+h, i, j], accumulated in the resident
+    output block over the INNERMOST batch grid dimension (the output index
+    map is constant in b, so the block stays in VMEM across the sweep)."""
+    b_i = pl.program_id(3)
+    p = _recompute_p(q_ref, k_ref, lse_ref, scale=scale, n_valid=n_valid,
+                     block_k=block_k, kv_i=pl.program_id(2),
+                     bias=bias_ref[0])
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - _dvec(o_ref, do_ref))
+
+    @pl.when(b_i == 0)
+    def _():
+        dbias_ref[0] = ds
+
+    @pl.when(b_i != 0)
+    def _():
+        dbias_ref[0] += ds
+
+
+def _flash_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
+    """Pallas backward -> (dq, dk, dv, dbias-or-None). The bias path adds a
+    third kernel that recomputes dS blockwise and reduces it over the batch
+    grid dim — backward HBM traffic stays O(N*D) + the [H, N, N] dbias
+    itself (which is the size of the bias operand, hence unavoidable)."""
     bh, n, d = q.shape
     n_pad = _ceil_to(n, max(block_q, block_k))
     nq = n_pad // block_q
@@ -287,17 +334,42 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
     if lse.shape[1] != n_pad:
         lse = jnp.pad(lse, ((0, 0), (0, n_pad - lse.shape[1]), (0, 0)))
 
+    h = None
+    bias_p = None
+    if bias is not None:
+        h = bias.shape[0]
+        bias_p = jnp.pad(
+            bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
+            constant_values=0.0,
+        )
+
     q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, kk, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, j, 0),
                            memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, kk, 0),
                             memory_space=pltpu.VMEM)
+    dkdv_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, row_spec]
+    dkdv_args = [qp, kp, vp, op, dop, lse]
+    if bias is None:
+        dkdv_kernel = functools.partial(
+            _bwd_dkdv_nobias, scale=scale, n_valid=n, block_k=block_k, nq=nq
+        )
+    else:
+        # bias rows follow the q grid dim (kk), cols the kv dim (j)
+        dkdv_specs.append(
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda i, j, kk, h=h: (i % h, kk, j),
+                         memory_space=pltpu.VMEM)
+        )
+        dkdv_args.append(bias_p)
+        dkdv_kernel = functools.partial(
+            _bwd_dkdv_kernel, scale=scale, n_valid=n, block_k=block_k, nq=nq
+        )
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, scale=scale, n_valid=n,
-                          block_k=block_k, nq=nq),
+        dkdv_kernel,
         grid=(bh, nkv, nq),  # kv outer, q inner (accumulate over q)
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, row_spec],
+        in_specs=dkdv_specs,
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -313,7 +385,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, op, dop, lse)
+    )(*dkdv_args)
 
     q_spec2 = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                            memory_space=pltpu.VMEM)
@@ -321,24 +393,75 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
                             memory_space=pltpu.VMEM)
     row_spec2 = pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, j, 0),
                              memory_space=pltpu.VMEM)
+    dq_specs = [q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, row_spec2]
+    dq_args = [qp, kp, vp, op, dop, lse]
+    if bias is None:
+        dq_kernel = functools.partial(
+            _bwd_dq_nobias, scale=scale, n_valid=n, block_k=block_k, nkv=nkv
+        )
+    else:
+        dq_specs.append(
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda i, j, kk, h=h: (i % h, j, kk),
+                         memory_space=pltpu.VMEM)
+        )
+        dq_args.append(bias_p)
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, scale=scale, n_valid=n, block_k=block_k, nkv=nkv
+        )
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n,
-                          block_k=block_k, nkv=nkv),
+        dq_kernel,
         grid=(bh, nq, nkv),  # q outer, kv inner (accumulate over kv)
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, row_spec2],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, op, dop, lse)
-    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+    )(*dq_args)
+
+    dbias = None
+    if bias is not None:
+        b = bh // h
+        bq_spec = pl.BlockSpec(
+            (1, block_q, d), lambda hh, j, kk, bb, h=h: (bb * h + hh, j, 0),
+            memory_space=pltpu.VMEM)
+        bkv_spec = pl.BlockSpec(
+            (1, block_k, d), lambda hh, j, kk, bb, h=h: (bb * h + hh, kk, 0),
+            memory_space=pltpu.VMEM)
+        brow_spec = pl.BlockSpec(
+            (1, block_q, 128), lambda hh, j, kk, bb, h=h: (bb * h + hh, j, 0),
+            memory_space=pltpu.VMEM)
+        bbias_spec = pl.BlockSpec(
+            (1, block_q, block_k), lambda hh, j, kk, bb: (hh, j, kk),
+            memory_space=pltpu.VMEM)
+        dbias = pl.pallas_call(
+            functools.partial(_dbias_kernel, scale=scale, n_valid=n,
+                              block_k=block_k),
+            # batch INNERMOST: the output block (constant in bb) stays
+            # resident in VMEM while dS accumulates over the batch
+            grid=(h, nq, nkv, b),
+            in_specs=[bq_spec, bkv_spec, bkv_spec, bq_spec, bq_spec,
+                      brow_spec, bbias_spec],
+            out_specs=pl.BlockSpec(
+                (1, block_q, block_k), lambda hh, j, kk, bb: (hh, j, kk),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, n_pad, n_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, op, dop, lse, bias_p)
+        dbias = dbias[:, :n, :n].astype(bias.dtype)
+    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :], dbias
 
 
 def _bwd_reference(q, k, v, bias, scale, o, do, n):
     """Non-kernel backward in plain XLA (numerically exact, O(N^2) memory
-    per (b*h) slice) — used only for the bias path, where dbias requires
-    the materialized score gradient."""
+    per (b*h) slice) — kept as the differential ORACLE for the Pallas
+    backward kernels (tests/test_flash_attention.py); no production path
+    uses it."""
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
     s = jnp.einsum("znd,zmd->znm", qf, kf) * scale
     if bias is not None:
@@ -375,20 +498,15 @@ def _flash_core_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
     # The kernel emits lse lane-replicated [BH, N_pad, 128] (Mosaic block
     # tiling cannot express a [*, Bq] row-vector output). Keep only ONE
     # lane as the residual — 128x less HBM held across the layer stack —
-    # and re-broadcast in the backward. The bias path uses _bwd_reference
-    # and needs no lse at all.
-    lse1 = None if bias is not None else lse[:, :, :1]
-    return o, (q, k, v, bias, o, lse1)
+    # and re-broadcast in the backward.
+    return o, (q, k, v, bias, o, lse[:, :, :1])
 
 
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
     q, k, v, bias, o, lse = res
-    if bias is None:
-        dq, dk, dv = _flash_bwd(
-            q, k, v, o, lse, do, scale, block_q, block_k, interpret
-        )
-        return dq, dk, dv, None
-    dq, dk, dv, dbias = _bwd_reference(q, k, v, bias, scale, o, do, q.shape[1])
+    dq, dk, dv, dbias = _flash_bwd(
+        q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret
+    )
     return dq, dk, dv, dbias
 
 

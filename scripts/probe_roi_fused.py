@@ -50,7 +50,10 @@ def timed(fn, *args, iters=50, name=""):
     @jax.jit
     def loop(*a):
         def body(i, carry):
-            o = fn(*a)
+            # perturb the first operand with the carry so the body is NOT
+            # loop-invariant (XLA would hoist it out entirely otherwise)
+            a0 = a[0] + carry.astype(a[0].dtype) * 1e-12
+            o = fn(a0, *a[1:])
             return carry + o.reshape(-1)[0].astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
@@ -98,14 +101,14 @@ def xla_two_gemm(f_chw, wy, wx):
 def _kernel_a(f2d_ref, wy_ref, wxb_ref, out_ref, *, kb):
     t = jax.lax.dot_general(
         wy_ref[:], f2d_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=BF,
-    )  # [(k,py)=KB*P, (w,c)=W*C] bf16
+        preferred_element_type=jnp.float32,
+    ).astype(BF)  # [(k,py)=KB*P, (w,c)=W*C] bf16
     # the relayout under test: split lanes (W,C), split sublanes (kb,P),
     # swap py<->w, re-merge
     t4 = t.reshape(kb, P, W, C)
     tt = t4.transpose(0, 2, 1, 3).reshape(kb * W, P * C)  # [(k,w), (py,c)]
     out = jax.lax.dot_general(
-        wxb_ref[:], tt, (((1,), (0,)), ((), ())),
+        wxb_ref[0], tt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [(k,px), (py,c)]
     out_ref[:] = out.reshape(kb, P, P, C).astype(out_ref.dtype)
@@ -147,8 +150,8 @@ def variant_a(f_chw, wy, wx, kb=8):
 def _kernel_a0(f2d_ref, wy_ref, out_ref, *, kb, relayout):
     t = jax.lax.dot_general(
         wy_ref[:], f2d_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=BF,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(BF)
     if relayout:
         t = t.reshape(kb, P, W, C).transpose(0, 2, 1, 3).reshape(
             kb * W, P * C
@@ -185,16 +188,16 @@ def _kernel_e(f2dt_ref, wy_ref, wx_ref, r_ref, out_ref, *, kb):
     # gemm1 transposed: [ (w,c), H ] x [ H, (k,py) ] -> t9 [(w,c), (k,py)]
     t9 = jax.lax.dot_general(
         f2dt_ref[:], wy_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=BF,
-    )  # [(w,c)=W*C, (k,py)=kb*P]
+        preferred_element_type=jnp.float32,
+    ).astype(BF)  # [(w,c)=W*C, (k,py)=kb*P]
     t10 = t9.reshape(W, C, kb * P)  # free: sublane split, inner C%8==0
     t10t = jnp.transpose(t10, (1, 0, 2))  # [C, W, (k,py)] major transpose
     wx2 = wx_ref[:]  # [(k,px), W]
     wxb = jnp.broadcast_to(wx2[None], (C, kb * P, W))
     cross = jax.lax.dot_general(
         wxb, t10t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=BF,
-    )  # [C, (k,px), (k',py)] — only k'=k blocks are wanted
+        preferred_element_type=jnp.float32,
+    ).astype(BF)  # [C, (k,px), (k',py)] — only k'=k blocks are wanted
     ki = jax.lax.broadcasted_iota(jnp.int32, (kb * P, kb * P), 0) // P
     kj = jax.lax.broadcasted_iota(jnp.int32, (kb * P, kb * P), 1) // P
     sel = cross * (ki == kj).astype(cross.dtype)[None]
@@ -203,7 +206,7 @@ def _kernel_e(f2dt_ref, wy_ref, wx_ref, r_ref, out_ref, *, kb):
         sel, r_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [C, (k,px), P(py)]
-    out_ref[:] = s.astype(out_ref.dtype)
+    out_ref[0] = s.astype(out_ref.dtype)
 
 
 def variant_e(f_chw, wy, wx, kb=8):

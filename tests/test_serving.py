@@ -125,3 +125,24 @@ def test_serving_jpeg_input(tiny_model):
     assert len(results) == 1
     if len(results[0].boxes):
         assert results[0].boxes[:, 2].max() <= 70 + 1e-3
+
+
+@pytest.mark.slow
+def test_serving_high_res_bucket(tiny_model):
+    """A >=896 px serving bucket end to end (VERDICT r2 item 3 tail): a
+    large page routes to the 896 bucket, the ViT resamples its pos
+    embeddings to the 56x56 grid (3137 tokens), and anchors/proposal
+    budgets/NMS all run at that grid's static shapes."""
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    engine = BatchInferenceEngine(
+        tiny_model, image_sizes=(64, 896), batch_size=1, score_thresh=0.0
+    )
+    rng = np.random.default_rng(3)
+    page = rng.uniform(0, 255, (700, 640, 3)).astype(np.float32)
+    (result,) = engine.predict_pages([page])
+    assert set(engine._compiled) == {896}
+    if len(result.boxes):
+        # boxes are rescaled back to the original page's coordinates
+        assert result.boxes[:, 2].max() <= 640 + 1e-2
+        assert result.boxes[:, 3].max() <= 700 + 1e-2
