@@ -116,6 +116,13 @@ def main() -> None:
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_BENCH, 3),
+                # the reference publishes NO throughput numbers
+                # (BASELINE.md), so the denominator is this framework's
+                # own round-1 figure — self-describing so BENCH_r*.json
+                # readers don't need bench.py's comments:
+                "baseline_is": "this framework's round-1 figure "
+                               f"({BASELINE_BENCH} img/s/chip); the PyTorch "
+                               "reference publishes no numbers",
             }
         )
     )

@@ -84,6 +84,8 @@ class Trainer:
         self.config = config
         self.model = model
         self.loss_history: list[float] = []
+        # steady-state observability: per-epoch images/sec as logged
+        self.epoch_images_per_sec: list[float] = []
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
 
@@ -229,6 +231,7 @@ class Trainer:
             if losses else 0.0
         dt = time.time() - t0
         self.loss_history.append(avg)
+        self.epoch_images_per_sec.append(n_images / max(dt, 1e-9))
         logger.info(
             "Epoch %d/%d, Loss: %.4f (%.1f img/s)",
             epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),

@@ -13,7 +13,19 @@ from layoutdit_tpu.models.detection.detector import (
 
 batch = int(os.environ.get("BENCH_BATCH", 16))
 steps = int(os.environ.get("BENCH_STEPS", 20))
-cfg = DetectorConfig(compute_dtype="bfloat16")
+# serving-budget knob (VERDICT r3 item 1c): rpn_post_nms_top_n_test
+# controls how many proposals/img the predict path pools (torchvision
+# default 1000; train pools 512)
+post_n = int(os.environ.get("BENCH_POST_NMS", 0))
+if post_n:
+    from layoutdit_tpu.config.constructs import DetectionBudget
+
+    cfg = DetectorConfig(
+        compute_dtype="bfloat16",
+        budget=DetectionBudget(rpn_post_nms_top_n_test=post_n),
+    )
+else:
+    cfg = DetectorConfig(compute_dtype="bfloat16")
 params = init_detector_params(jax.random.PRNGKey(0), cfg)
 rng = np.random.default_rng(0)
 images = jnp.asarray(rng.uniform(0, 1, (batch, 3, 224, 224)), jnp.float32)
