@@ -108,20 +108,27 @@ class Evaluator:
             valid = np.asarray(dets.valid) & (scores >= self.score_thresh)
             if self.score_thresh > 0:
                 valid &= scores > 0
-            for i in range(len(batch.image_ids)):
-                if not batch.image_valid[i]:
-                    continue
-                img_id = int(batch.image_ids[i])
-                for b, s, c, v in zip(boxes[i], scores[i], labels[i], valid[i]):
-                    if not v:
-                        continue
-                    x1, y1, x2, y2 = (float(x) for x in b)
-                    all_predictions.append({
-                        "image_id": img_id,
-                        "category_id": int(c),
-                        "bbox": [x1, y1, x2 - x1, y2 - y1],
-                        "score": float(s),
-                    })
+            # vectorized flatten: one numpy pass per batch, python only
+            # over the (already thresholded) kept detections
+            keep = valid & np.asarray(batch.image_valid, bool)[:, None]
+            img_idx, det_idx = np.nonzero(keep)
+            kb = boxes[img_idx, det_idx].astype(np.float64)
+            xywh = np.stack(
+                [kb[:, 0], kb[:, 1], kb[:, 2] - kb[:, 0], kb[:, 3] - kb[:, 1]],
+                axis=1,
+            )
+            kids = np.asarray(batch.image_ids)[img_idx]
+            ks = scores[img_idx, det_idx]
+            kc = labels[img_idx, det_idx]
+            all_predictions.extend(
+                {
+                    "image_id": int(kids[j]),
+                    "category_id": int(kc[j]),
+                    "bbox": xywh[j].tolist(),
+                    "score": float(ks[j]),
+                }
+                for j in range(len(img_idx))
+            )
 
         if not all_predictions:
             logger.warning("No predictions were generated.")

@@ -134,8 +134,11 @@ class BatchInferenceEngine:
 
                 from PIL import Image
 
+                # PIL opens lazily: .size parses the JPEG header only —
+                # pixel data is decoded once, in _decode, after bucketing
+                # (which needs these sizes to pick the target resolution).
                 with Image.open(io.BytesIO(bytes(p))) as im:
-                    w, h = im.size  # header-only read
+                    w, h = im.size
             else:
                 arr = np.asarray(p)
                 h, w = (arr.shape[-2:] if arr.shape[0] in (1, 3)

@@ -123,6 +123,12 @@ def save_checkpoint_sharded(
     if jax.process_index() == 0:
         with fsspec.open(path.rstrip("/") + ".meta.json", "w") as f:
             f.write(json.dumps(meta))
+    if jax.process_count() > 1:
+        # Without a barrier, processes != 0 can return (and restore) before
+        # process 0 has written the sibling meta file.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("layoutdit_ckpt_meta")
 
 
 def load_checkpoint_sharded(

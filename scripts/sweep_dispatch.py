@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--svals", type=int, nargs="*", default=[1, 8])
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--fixture-dir", default=None,
+                    help="reuse an existing fixture dir instead of building")
     args = ap.parse_args()
 
     from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
@@ -38,9 +40,10 @@ def main():
     from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
     from layoutdit_tpu.train.trainer import Trainer
 
-    root = tempfile.mkdtemp(prefix="sweep_fixture_")
-    make_fixture(root, n_images=args.n, split="samples", seed=0)
-    write_fixture_config(root, epochs=args.epochs, batch_size=16)
+    root = args.fixture_dir or tempfile.mkdtemp(prefix="sweep_fixture_")
+    if not os.path.exists(os.path.join(root, "samples.json")):
+        make_fixture(root, n_images=args.n, split="samples", seed=0)
+        write_fixture_config(root, epochs=args.epochs, batch_size=16)
 
     results = {}
     for s in args.svals:
