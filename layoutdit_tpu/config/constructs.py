@@ -113,8 +113,11 @@ class TrainingConfig(BaseModel):
     grad_clip_norm: float = 0.0
     # Batches executed per device dispatch (lax.scan inside one jit call).
     # >1 amortizes host->device dispatch latency — important on remote
-    # backends where each call costs a round trip.
-    steps_per_dispatch: int = 1
+    # backends where each call costs a round trip. Default from the
+    # 1024-image sweep (scripts/sweep_dispatch.py, PERF_STAGES.md):
+    # S=4 is +16% steady-state vs S=1; S>=8 loses to host assemble on a
+    # 1-core host. Epoch remainders still run the plain single-step path.
+    steps_per_dispatch: int = 4
 
 
 class EvalConfig(BaseModel):

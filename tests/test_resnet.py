@@ -24,7 +24,7 @@ def test_resnet50_feature_shapes_and_param_count():
     # 2x BN stats (~0.11M)
     assert 23.4e6 < n < 23.8e6
     x = jnp.zeros((1, 3, 224, 224))
-    feats = resnet50_forward(params, x)
+    feats = jax.jit(resnet50_forward)(params, x)
     assert [f.shape for f in feats] == [
         (1, 256, 56, 56), (1, 512, 28, 28), (1, 1024, 14, 14), (1, 2048, 7, 7)
     ]
@@ -32,7 +32,7 @@ def test_resnet50_feature_shapes_and_param_count():
 
 def test_resnet_fpn_pyramid():
     params = init_resnet_fpn_params(jax.random.PRNGKey(0))
-    feats = resnet_fpn_forward(params, jnp.zeros((2, 3, 224, 224)))
+    feats = jax.jit(resnet_fpn_forward)(params, jnp.zeros((2, 3, 224, 224)))
     assert [f.shape for f in feats] == [
         (2, 256, 56, 56), (2, 256, 28, 28), (2, 256, 14, 14),
         (2, 256, 7, 7), (2, 256, 4, 4),
@@ -81,7 +81,7 @@ def test_torch_state_dict_roundtrip():
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, imported)
     assert ref_shapes == got_shapes
     # forward runs
-    out = resnet50_forward(imported, jnp.zeros((1, 3, 64, 64)))
+    out = jax.jit(resnet50_forward)(imported, jnp.zeros((1, 3, 64, 64)))
     assert out[-1].shape == (1, 2048, 2, 2)
 
 
@@ -113,9 +113,13 @@ def test_resnet_detector_end_to_end():
     gt_boxes = jnp.asarray([[[5.0, 5.0, 30.0, 40.0]]])
     gt_labels = jnp.asarray([[1]], jnp.int32)
     gt_valid = jnp.asarray([[True]])
-    losses = detector_loss(
-        params, jax.random.PRNGKey(1), images, gt_boxes, gt_labels, gt_valid, cfg
-    )
+    # jit both paths: one (persistently cached) compile instead of
+    # thousands of eager op dispatches on the 1-core CI host
+    losses = jax.jit(
+        lambda p, k, im: detector_loss(
+            p, k, im, gt_boxes, gt_labels, gt_valid, cfg
+        )
+    )(params, jax.random.PRNGKey(1), images)
     assert all(np.isfinite(float(v)) for v in losses.values())
-    dets = detector_predict(params, images, cfg)
+    dets = jax.jit(lambda p, im: detector_predict(p, im, cfg))(params, images)
     assert dets.boxes.shape[1] == 8
