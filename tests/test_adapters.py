@@ -72,6 +72,9 @@ def test_transfer_finetune_e2e_doclaynet_shaped(tmp_path):
     write_fixture_config(root, epochs=1, batch_size=3, tiny_model=True)
     cfg = LayoutDitConfig(**json.load(open(root + "/cfg.json")))
     cfg.run_name = "dln"
+    # subject is the transfer-learning class plumbing, not dispatch
+    # batching: S=1 avoids the extra multi-step compile
+    cfg.train_config.steps_per_dispatch = 1
     apply_dataset_spec(cfg, "doclaynet")
     assert cfg.detection_model_config.num_classes == 11
     set_layout_dit_config(cfg)

@@ -128,6 +128,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+# default min_compile_time is 60s: without this, the tiny-detector step
+# recompiles in every worker on every suite run
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 pid = int(sys.argv[1]); port = sys.argv[2]; ckdir = sys.argv[3]
 from layoutdit_tpu.config.constructs import DetectionBudget, MeshConfig

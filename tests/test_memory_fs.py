@@ -68,6 +68,9 @@ def test_e2e_artifacts_over_memory(tmp_path):
     write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
     cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
     cfg.run_name = "memrun"
+    # subject is the memory:// IO seam, not dispatch batching: S=1 avoids
+    # compiling the multi-step graph on the 1-core host
+    cfg.train_config.steps_per_dispatch = 1
     cfg.eval_config.eval_base_path = BUCKET
     set_layout_dit_config(cfg)
     try:

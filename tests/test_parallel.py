@@ -150,6 +150,9 @@ def test_trainer_with_tp_mesh(tmp_path):
     write_fixture_config(str(tmp_path), epochs=1, batch_size=4, tiny_model=True)
     cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
     cfg.mesh_config = MeshConfig(data_parallel=2, model_parallel=4)
+    # subject is TP sharding, not dispatch batching: S=1 avoids the extra
+    # multi-step compile on the 1-core host
+    cfg.train_config.steps_per_dispatch = 1
     cfg.detection_model_config.vit_overrides["num_attention_heads"] = 4
     set_layout_dit_config(cfg)
     try:

@@ -19,6 +19,8 @@ def test_enable_profile_writes_and_uploads_traces(tmp_path):
     cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
     cfg.train_config.enable_profile = True
     cfg.train_config.trace_log_dir = str(tmp_path / "traces")
+    # subject is the profiler trace path, not dispatch batching
+    cfg.train_config.steps_per_dispatch = 1
     set_layout_dit_config(cfg)
     try:
         model = build_model(cfg)
