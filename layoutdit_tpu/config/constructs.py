@@ -72,6 +72,11 @@ class MeshConfig(BaseModel):
     data_parallel: int = -1
     model_parallel: int = 1
     axis_names: tuple[str, str] = ("data", "model")
+    # Sequence parallelism: shard the encoder's [B, N, D] residual stream
+    # over the model axis (Megatron-SP schedule derived by XLA from this
+    # constraint + the TP param shardings). Only meaningful when
+    # model_parallel > 1; numerics-neutral. Forces the XLA attention path.
+    sequence_parallel: bool = False
     # Initialise jax.distributed (multi-host) when world size > 1.
     enable_distributed_init: bool = False
     # Explicit coordination (multi-host); None -> jax env-var / TPU-pod

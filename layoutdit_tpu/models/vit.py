@@ -291,6 +291,7 @@ def vit_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attention_impl: str = "xla",
     remat: bool = False,
+    seq_sharding=None,
 ) -> list[jnp.ndarray]:
     """Run the encoder; return hidden states at ``taps`` (HF indexing:
     0 = embedding output, i = output of layer i). Empty taps -> [final].
@@ -300,7 +301,20 @@ def vit_forward(
     embeddings are bicubically resampled and relative-position-bias tables
     bilinearly resampled (both HF interpolate_pos_encoding parity) —
     high-res document pages work for every BEiT-family checkpoint.
+
+    seq_sharding: optional ``NamedSharding`` for the [B, N, D] residual
+    stream (sequence parallelism: tokens sharded over the mesh's model
+    axis, e.g. ``NamedSharding(mesh, P(None, "model", None))``). The
+    constraint is applied to every block boundary; XLA's partitioner
+    derives the Megatron-SP collective schedule from it together with the
+    TP parameter shardings (all-gather tokens into the column-parallel
+    matmuls, reduce-scatter back to token shards after the row-parallel
+    ones). Numerics are unchanged — this only pins activation layouts.
+    Forces the XLA attention path (a pallas_call would gather its
+    operands and forfeit the sharding anyway).
     """
+    if seq_sharding is not None:
+        attention_impl = "xla"
     taps = tuple(taps) or (cfg.num_hidden_layers,)
     _, _, img_h, img_w = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
@@ -337,6 +351,13 @@ def vit_forward(
             idx,
         )
 
+    def seq_constrain(t):
+        if seq_sharding is None:
+            return t
+        return jax.lax.with_sharding_constraint(t, seq_sharding)
+
+    x = seq_constrain(x)
+
     # collect by layer index, then emit in tap order (taps may repeat for
     # very shallow test configs)
     collected: dict[int, jnp.ndarray] = {}
@@ -367,7 +388,7 @@ def vit_forward(
         y = _linear(y, layer["mlp_out"])
         if "lambda_2" in layer:
             y = y * layer["lambda_2"].astype(y.dtype)
-        return x + y
+        return seq_constrain(x + y)
 
     if remat:
         run_layer = jax.checkpoint(run_layer)

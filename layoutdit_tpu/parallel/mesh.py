@@ -104,6 +104,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def sequence_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding | None:
+    """Sharding for the encoder's [B, N, D] residual stream when sequence
+    parallelism is on: tokens over the model axis. None when SP is off or
+    there is no model axis to shard over (so callers can pass it straight
+    to detector_loss/vit_forward's seq_sharding)."""
+    model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    if (
+        not getattr(cfg, "sequence_parallel", False)
+        or model_axis is None
+        or mesh.shape[model_axis] <= 1
+    ):
+        return None
+    return NamedSharding(mesh, P(None, model_axis, None))
+
+
 def shard_batch_tree(tree, mesh: Mesh):
     """device_put every leaf with its batch dim sharded over 'data'."""
     s = batch_sharding(mesh)

@@ -14,6 +14,16 @@ Tensor-parallel layout (Megatron-style, for DiT-large and beyond):
 
 Data parallel: the batch is sharded over 'data'; gradients all-reduce
 implicitly because params are replicated along that axis.
+
+Sequence parallel (MeshConfig.sequence_parallel): the encoder's [B, N, D]
+residual stream is constrained to P(None, 'model', None) at every block
+boundary (mesh.sequence_sharding -> vit_forward's seq_sharding). Combined
+with the TP layout above, XLA derives the Megatron-SP schedule: LN and
+residual adds run on token shards, tokens all-gather into the
+column-parallel matmuls, and the row-parallel all-reduces become
+reduce-scatters back to token shards — cutting per-chip activation
+memory by the TP degree at high-res token counts. Numerics-neutral
+(tests/test_parallel.py parity test).
 """
 
 from __future__ import annotations

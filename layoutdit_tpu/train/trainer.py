@@ -39,6 +39,7 @@ from layoutdit_tpu.parallel.mesh import (
     build_mesh_for_batch,
     maybe_distributed_init,
     replicated_sharding,
+    sequence_sharding,
 )
 
 logger = get_logger(__name__)
@@ -147,11 +148,13 @@ class Trainer:
         tx = self.tx
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        seq = sequence_sharding(self.mesh, self.config.mesh_config)
 
         def step(params, opt_state, rng, images, gt_boxes, gt_labels, gt_valid):
             def total_loss(p):
                 losses = detector_loss(
-                    p, rng, images, gt_boxes, gt_labels, gt_valid, cfg
+                    p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
+                    seq_sharding=seq,
                 )
                 return sum(losses.values()), losses
 

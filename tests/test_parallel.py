@@ -109,6 +109,42 @@ def test_tensor_parallel_loss_matches_single_device():
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
+def test_sequence_parallel_loss_matches_single_device():
+    """SP (tokens sharded over 'model') is an activation-layout constraint
+    only: the dp4 x tp2 sharded loss must reproduce single-device
+    numerics, and the constraint must survive into the compiled module."""
+    from layoutdit_tpu.parallel.mesh import sequence_sharding
+
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    images, gt_boxes, gt_labels, gt_valid = _batch(4)
+    rng = jax.random.PRNGKey(7)
+
+    ref = jax.jit(
+        lambda p: sum(
+            detector_loss(p, rng, images, gt_boxes, gt_labels, gt_valid, cfg).values()
+        )
+    )(params)
+
+    mcfg = MeshConfig(data_parallel=4, model_parallel=2, sequence_parallel=True)
+    mesh = build_mesh(mcfg)
+    seq = sequence_sharding(mesh, mcfg)
+    assert seq is not None and seq.spec == P(None, "model", None)
+    sharded = shard_params(params, mesh)
+    data = batch_sharding(mesh)
+    fn = jax.jit(
+        lambda p, im, gb, gl, gv: sum(
+            detector_loss(p, rng, im, gb, gl, gv, cfg, seq_sharding=seq).values()
+        ),
+        in_shardings=(None, data, data, data, data),
+    )
+    got = fn(sharded, images, gt_boxes, gt_labels, gt_valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    # SP off (model_parallel=1) -> helper declines
+    mcfg_dp = MeshConfig(data_parallel=8, model_parallel=1, sequence_parallel=True)
+    assert sequence_sharding(build_mesh(mcfg_dp), mcfg_dp) is None
+
+
 def test_dp_tp_train_step_runs_and_keeps_shardings():
     import optax
 
