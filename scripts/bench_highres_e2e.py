@@ -57,11 +57,21 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--sizes", type=int, nargs="*", default=[896, 1024])
+    ap.add_argument("--preset", choices=["base", "large"], default="base",
+                    help="dit-base (default) or dit-large backbone")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     results = {}
 
-    base_cfg = DetectorConfig(compute_dtype="bfloat16", image_size=224)
+    from layoutdit_tpu.models import vit as vit_mod
+    from layoutdit_tpu.models.backbone import BackboneConfig
+
+    bb = BackboneConfig(
+        vit=vit_mod.DIT_LARGE if args.preset == "large" else vit_mod.DIT_BASE
+    )
+    base_cfg = DetectorConfig(
+        compute_dtype="bfloat16", image_size=224, backbone=bb
+    )
     params = init_detector_params(jax.random.PRNGKey(0), base_cfg)
 
     for size in args.sizes:
@@ -70,7 +80,8 @@ def main():
         )
         for attn in ("auto", "xla"):
             cfg = DetectorConfig(
-                compute_dtype="bfloat16", attention_impl=attn, image_size=size
+                compute_dtype="bfloat16", attention_impl=attn,
+                image_size=size, backbone=bb,
             )
             try:
                 ms = timed_predict(cfg, params, images, args.steps)
@@ -88,7 +99,7 @@ def main():
 
     # ---- parity spot-check: same page at 224 native vs upscaled 896 ----
     page = rng.uniform(0, 1, (1, 3, 224, 224)).astype(np.float32)
-    cfg224 = DetectorConfig(compute_dtype="bfloat16", image_size=224)
+    cfg224 = DetectorConfig(compute_dtype="bfloat16", image_size=224, backbone=bb)
     d224 = jax.jit(lambda p, im: detector_predict(p, im, cfg224))(
         params, jnp.asarray(page)
     )
@@ -96,7 +107,7 @@ def main():
     up = np.kron(page, np.ones((1, 1, size // 224 + 1, size // 224 + 1)))[
         :, :, :size, :size
     ].astype(np.float32)
-    cfg_hi = DetectorConfig(compute_dtype="bfloat16", image_size=size)
+    cfg_hi = DetectorConfig(compute_dtype="bfloat16", image_size=size, backbone=bb)
     d_hi = jax.jit(lambda p, im: detector_predict(p, im, cfg_hi))(
         params, jnp.asarray(up)
     )

@@ -59,3 +59,29 @@ def test_config_json_roundtrip():
     cfg = LayoutDitConfig(run_name="rt")
     cfg2 = LayoutDitConfig(**json.loads(cfg.model_dump_json()))
     assert cfg2 == cfg
+
+
+def test_shipped_example_configs_parse():
+    """configs/*.json presets must stay loadable as partial configs."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir, "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert paths, "no shipped example configs found"
+    for p in paths:
+        cfg = LayoutDitConfig(**json.load(open(p)))
+        assert cfg.run_name
+    serving = LayoutDitConfig(
+        **json.load(open(os.path.join(root, "serving_1024.json")))
+    )
+    assert serving.detection_model_config.image_size == 1024
+    assert (
+        serving.detection_model_config.detection_budget.rpn_post_nms_top_n_test
+        == 512
+    )
+    tp_sp = LayoutDitConfig(
+        **json.load(open(os.path.join(root, "train_tp_sp.json")))
+    )
+    assert tp_sp.mesh_config.sequence_parallel
+    assert tp_sp.detection_model_config.backbone_type.value == "dit-large"
