@@ -211,6 +211,12 @@ class ModelConfig(BaseModel):
     # RoI pooler: "xla" or "pallas" (fused VMEM kernel).
     roi_impl: str = "xla"
 
+    # Cascade R-CNN head (BASELINE config #3): per-stage foreground IoU
+    # thresholds, e.g. [0.5, 0.6, 0.7] — each stage gets its own
+    # TwoMLPHead + class-agnostic predictor and refines the previous
+    # stage's boxes. Empty = plain Faster R-CNN (reference parity).
+    cascade_iou_threshs: list[float] = []
+
     # Optional ViT architecture overrides (hidden_size, num_hidden_layers,
     # ...) applied on top of the backbone preset — used for scaled-down
     # e2e tests and custom model families.

@@ -72,6 +72,12 @@ class DetectorConfig:
     backbone_kind: str = "dit"
     # RoI pooler implementation: "xla" or "pallas" (fused VMEM kernel).
     roi_impl: str = "xla"
+    # Cascade R-CNN head (BASELINE config #3): per-stage foreground IoU
+    # thresholds, e.g. (0.5, 0.6, 0.7). Empty = plain Faster R-CNN head.
+    cascade_iou_threshs: tuple[float, ...] = ()
+    # Per-stage loss weights; () -> cascade.DEFAULT_STAGE_LOSS_WEIGHTS
+    # truncated to the stage count.
+    cascade_stage_loss_weights: tuple[float, ...] = ()
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -90,6 +96,28 @@ class DetectorConfig:
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def cascade_reg_weights(self) -> tuple[tuple[float, float, float, float], ...]:
+        """Per-stage BoxCoder weights: paper defaults for the first three
+        stages, the last set repeated beyond that."""
+        from layoutdit_tpu.models.detection import cascade as cascade_mod
+
+        d = cascade_mod.DEFAULT_STAGE_REG_WEIGHTS
+        return tuple(
+            d[min(i, len(d) - 1)] for i in range(len(self.cascade_iou_threshs))
+        )
+
+    @property
+    def cascade_loss_weights(self) -> tuple[float, ...]:
+        if self.cascade_stage_loss_weights:
+            return self.cascade_stage_loss_weights
+        from layoutdit_tpu.models.detection import cascade as cascade_mod
+
+        d = cascade_mod.DEFAULT_STAGE_LOSS_WEIGHTS
+        return tuple(
+            d[min(i, len(d) - 1)] for i in range(len(self.cascade_iou_threshs))
+        )
 
     @classmethod
     def from_model_config(cls, mc: ModelConfig, precision_dtype: str = "float32"):
@@ -124,6 +152,7 @@ class DetectorConfig:
             attention_impl=mc.attention_impl,
             roi_impl=mc.roi_impl,
             backbone_kind=backbone_kind,
+            cascade_iou_threshs=tuple(mc.cascade_iou_threshs),
         )
 
 
@@ -147,21 +176,41 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
         bb_params = init_resnet_fpn_params(k_bb, cfg.backbone.fpn_out_channels)
     else:
         bb_params = init_backbone_params(k_bb, cfg.backbone)
-    return {
+    pooled_shape = (
+        cfg.backbone.fpn_out_channels,
+        cfg.roi_output_size,
+        cfg.roi_output_size,
+    )
+    params = {
         "backbone": bb_params,
         "rpn_head": init_rpn_head_params(
             k_rpn, cfg.backbone.fpn_out_channels, cfg.num_anchors_per_cell
         ),
-        "box_head": init_box_head_params(
-            k_head, in_features, rep,
-            pooled_shape=(
-                cfg.backbone.fpn_out_channels,
-                cfg.roi_output_size,
-                cfg.roi_output_size,
-            ),
-        ),
-        "box_predictor": init_predictor_params(k_pred, rep, cfg.num_classes + 1),
     }
+    if cfg.cascade_iou_threshs:
+        # One TwoMLPHead + class-agnostic predictor per cascade stage.
+        stages = {}
+        for i in range(len(cfg.cascade_iou_threshs)):
+            k_head, k_pred, k_h, k_p = jax.random.split(
+                jax.random.fold_in(k_head, i), 4
+            )
+            stages[f"s{i}"] = {
+                "box_head": init_box_head_params(
+                    k_h, in_features, rep, pooled_shape=pooled_shape
+                ),
+                "box_predictor": init_predictor_params(
+                    k_p, rep, cfg.num_classes + 1, reg_classes=1
+                ),
+            }
+        params["cascade_heads"] = stages
+    else:
+        params["box_head"] = init_box_head_params(
+            k_head, in_features, rep, pooled_shape=pooled_shape
+        )
+        params["box_predictor"] = init_predictor_params(
+            k_pred, rep, cfg.num_classes + 1
+        )
+    return params
 
 
 def _normalize(images: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
@@ -198,8 +247,12 @@ def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None):
     return feats, objectness, deltas
 
 
-def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
-    """RoIs [B, K, 4] -> (class_logits [B, K, NC+1], box_deltas)."""
+def _pool_and_predict(head_params, feats, rois, roi_valid, cfg: DetectorConfig):
+    """RoIs [B, K, 4] -> (class_logits [B, K, NC+1], box_deltas).
+
+    head_params: {"box_head": ..., "box_predictor": ...} — the base
+    detector's single head or one cascade stage's head.
+    """
     scales = cfg.backbone.spatial_scales
     if cfg.backbone_kind == "resnet50":
         # torchvision resnet path pools from "0".."3" only (model.py:84)
@@ -216,8 +269,8 @@ def _pool_and_predict(params, feats, rois, roi_valid, cfg: DetectorConfig):
             impl=cfg.roi_impl,
             native_layout=True,  # box head contracts [K, Px, Py, C] directly
         )
-        rep = box_head_forward(params["box_head"], pooled.astype(cfg.dtype))
-        return predictor_forward(params["box_predictor"], rep)
+        rep = box_head_forward(head_params["box_head"], pooled.astype(cfg.dtype))
+        return predictor_forward(head_params["box_predictor"], rep)
 
     return jax.vmap(single)(tuple(feats), rois, roi_valid)
 
@@ -259,10 +312,15 @@ def detector_loss(
         )
     )(props.boxes, props.valid, gt_boxes, gt_labels, gt_valid, roi_keys)
 
-    class_logits, box_regression = _pool_and_predict(
-        params, feats, samples.rois, samples.valid, cfg
-    )
-    loss_cls, loss_box = fastrcnn_loss(class_logits, box_regression, samples)
+    if cfg.cascade_iou_threshs:
+        loss_cls, loss_box = _cascade_loss(
+            params, feats, samples, gt_boxes, gt_labels, gt_valid, cfg
+        )
+    else:
+        class_logits, box_regression = _pool_and_predict(
+            _base_head(params), feats, samples.rois, samples.valid, cfg
+        )
+        loss_cls, loss_box = fastrcnn_loss(class_logits, box_regression, samples)
 
     return {
         "loss_objectness": loss_obj,
@@ -270,6 +328,58 @@ def detector_loss(
         "loss_classifier": loss_cls,
         "loss_box_reg": loss_box,
     }
+
+
+def _base_head(params: dict) -> dict:
+    return {"box_head": params["box_head"], "box_predictor": params["box_predictor"]}
+
+
+def _cascade_loss(params, feats, samples, gt_boxes, gt_labels, gt_valid, cfg):
+    """Stage-weighted cascade losses (aggregated into the reference's
+    loss_classifier / loss_box_reg keys so the trainer's sum-of-dict
+    contract is unchanged)."""
+    from layoutdit_tpu.models.detection import cascade as cascade_mod
+
+    img_size = (cfg.image_size, cfg.image_size)
+    boxes, valid = samples.rois, samples.valid
+    loss_cls = loss_box = 0.0
+    for i, thresh in enumerate(cfg.cascade_iou_threshs):
+        w_reg = cfg.cascade_reg_weights[i]
+        if i == 0:
+            # stage 0 = the sampled set; reg targets re-encoded with the
+            # stage weights only if they differ from the budget's.
+            labels, reg_targets = samples.labels, samples.reg_targets
+            if tuple(cfg.budget.box_reg_weights) != tuple(w_reg):
+                relabeled = jax.vmap(
+                    lambda bx, v, gb, gl, gv: cascade_mod.match_boxes_to_gt_single(
+                        bx, v, gb, gl, gv, thresh, w_reg
+                    )
+                )(boxes, valid, gt_boxes, gt_labels, gt_valid)
+                labels, reg_targets = relabeled.labels, relabeled.reg_targets
+        else:
+            relabeled = jax.vmap(
+                lambda bx, v, gb, gl, gv: cascade_mod.match_boxes_to_gt_single(
+                    bx, v, gb, gl, gv, thresh, w_reg
+                )
+            )(boxes, valid, gt_boxes, gt_labels, gt_valid)
+            labels, reg_targets = relabeled.labels, relabeled.reg_targets
+
+        class_logits, box_reg = _pool_and_predict(
+            params["cascade_heads"][f"s{i}"], feats, boxes, valid, cfg
+        )
+        lc, lb = cascade_mod.cascade_stage_loss(
+            class_logits, box_reg, labels, reg_targets, valid
+        )
+        lw = cfg.cascade_loss_weights[i]
+        loss_cls = loss_cls + lw * lc
+        loss_box = loss_box + lw * lb
+
+        if i + 1 < len(cfg.cascade_iou_threshs):
+            # refined boxes feed the next stage, detached (paper §3.4)
+            boxes = jax.lax.stop_gradient(
+                cascade_mod.refine_boxes(boxes, box_reg, w_reg, img_size)
+            )
+    return loss_cls, loss_box
 
 
 def detector_predict(
@@ -285,14 +395,39 @@ def detector_predict(
         objectness, deltas, anchors, counts,
         (cfg.image_size, cfg.image_size), cfg.budget, training=False,
     )
+    if cfg.cascade_iou_threshs:
+        return _cascade_predict(params, feats, props, cfg)
     class_logits, box_regression = _pool_and_predict(
-        params, feats, props.boxes, props.valid, cfg
+        _base_head(params), feats, props.boxes, props.valid, cfg
     )
     return jax.vmap(
         lambda cl, br, p, v: postprocess_detections_single(
             cl, br, p, v, (cfg.image_size, cfg.image_size), cfg.budget
         )
     )(class_logits, box_regression, props.boxes, props.valid)
+
+
+def _cascade_predict(params, feats, props, cfg: DetectorConfig) -> Detections:
+    """Refine boxes through every stage; average the stages' posteriors."""
+    from layoutdit_tpu.models.detection import cascade as cascade_mod
+
+    img_size = (cfg.image_size, cfg.image_size)
+    boxes, valid = props.boxes, props.valid
+    per_stage_logits = []
+    for i in range(len(cfg.cascade_iou_threshs)):
+        class_logits, box_reg = _pool_and_predict(
+            params["cascade_heads"][f"s{i}"], feats, boxes, valid, cfg
+        )
+        per_stage_logits.append(class_logits)
+        boxes = cascade_mod.refine_boxes(
+            boxes, box_reg, cfg.cascade_reg_weights[i], img_size
+        )
+    scores = cascade_mod.cascade_mean_scores(per_stage_logits)
+    return jax.vmap(
+        lambda s, bx, v: cascade_mod.postprocess_cascade_single(
+            s, bx, v, cfg.budget
+        )
+    )(scores, boxes, valid)
 
 
 def rescale_detections(dets: Detections, orig_sizes: jnp.ndarray, image_size: int):

@@ -140,11 +140,20 @@ def box_head_forward(params: dict, pooled: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.relu(linear(x, params["fc7"]))
 
 
-def init_predictor_params(key: jax.Array, rep_size: int, num_classes_bg: int) -> dict:
+def init_predictor_params(
+    key: jax.Array,
+    rep_size: int,
+    num_classes_bg: int,
+    reg_classes: int | None = None,
+) -> dict:
+    """FastRCNNPredictor params. ``reg_classes`` overrides the number of
+    regression branches: the default (num_classes_bg) is torchvision's
+    per-class regression; cascade stages pass 1 (class-agnostic)."""
     k1, k2 = jax.random.split(key)
+    reg = num_classes_bg if reg_classes is None else reg_classes
     return {
         "cls": _torch_linear(k1, rep_size, num_classes_bg),
-        "bbox": _torch_linear(k2, rep_size, num_classes_bg * 4),
+        "bbox": _torch_linear(k2, rep_size, reg * 4),
     }
 
 
