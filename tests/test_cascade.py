@@ -189,6 +189,45 @@ def test_single_stage_classifier_matches_plain_head():
     )
 
 
+def test_cascade_checkpoint_roundtrip(tmp_path, cascade_detector):
+    """The per-stage param tree survives a full-state msgpack round-trip."""
+    from layoutdit_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg, params = cascade_detector
+    path = str(tmp_path / "cas.msgpack")
+    save_checkpoint(path, params=params, opt_state=None, epoch=3)
+    state = load_checkpoint(path, params_template=params)
+    restored = state["params"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert state["epoch"] == 3
+
+
+def test_cascade_param_specs_replicated():
+    """TP sharding rules must leave the (small) cascade heads replicated
+    while still sharding the encoder."""
+    from jax.sharding import PartitionSpec as P
+
+    from layoutdit_tpu.parallel.mesh import build_mesh
+    from layoutdit_tpu.parallel.sharding import detector_param_specs
+
+    cfg = _cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    specs = detector_param_specs(params, mesh)
+    for leaf in jax.tree_util.tree_leaves(
+        specs["cascade_heads"], is_leaf=lambda x: isinstance(x, P)
+    ):
+        assert leaf == P()
+    # encoder is still TP-sharded
+    flat = jax.tree_util.tree_leaves(
+        specs["backbone"], is_leaf=lambda x: isinstance(x, P)
+    )
+    assert any(leaf != P() for leaf in flat)
+
+
 # ----------------------------------------------------------- dp-mesh step
 
 
