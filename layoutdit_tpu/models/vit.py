@@ -157,6 +157,12 @@ def _layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
 
 
 def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    if "kernel_q" in p:
+        # int8 serving path (ops/quant.py): s8xs8->s32 on the MXU at 2x
+        # the bf16 rate, dequantized by row x column scales.
+        from layoutdit_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, p)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"]
@@ -187,10 +193,6 @@ def _attention(
     # q/k/v entries (HF BeitModel state_dict layout, weights_io.py); the
     # trace-time concat is constant-folded per step and costs nothing
     # next to the GEMM. BEiT quirk preserved: K has no bias.
-    qkv_kernel = jnp.concatenate(
-        [layer["q"]["kernel"], layer["k"]["kernel"], layer["v"]["kernel"]],
-        axis=1,
-    ).astype(x.dtype)
     qkv_bias = jnp.concatenate(
         [
             layer["q"]["bias"],
@@ -198,9 +200,37 @@ def _attention(
             layer["v"]["bias"],
         ]
     )
-    qkv = (
-        jnp.dot(x, qkv_kernel, preferred_element_type=jnp.float32) + qkv_bias
-    ).astype(x.dtype)
+    if "kernel_q" in layer["q"]:
+        # int8 serving path: quantize the activations once for all three
+        # projections (ops/quant.py W8A8 dynamic scheme).
+        from layoutdit_tpu.ops.quant import (
+            int8_matmul_quantized_rhs,
+            quantize_activations,
+        )
+
+        qkv_kernel_q = jnp.concatenate(
+            [layer["q"]["kernel_q"], layer["k"]["kernel_q"], layer["v"]["kernel_q"]],
+            axis=1,
+        )
+        qkv_scale = jnp.concatenate(
+            [
+                layer["q"]["kernel_scale"],
+                layer["k"]["kernel_scale"],
+                layer["v"]["kernel_scale"],
+            ]
+        )
+        xq, xs = quantize_activations(x)
+        qkv = (
+            int8_matmul_quantized_rhs(xq, xs, qkv_kernel_q, qkv_scale) + qkv_bias
+        ).astype(x.dtype)
+    else:
+        qkv_kernel = jnp.concatenate(
+            [layer["q"]["kernel"], layer["k"]["kernel"], layer["v"]["kernel"]],
+            axis=1,
+        ).astype(x.dtype)
+        qkv = (
+            jnp.dot(x, qkv_kernel, preferred_element_type=jnp.float32) + qkv_bias
+        ).astype(x.dtype)
     q = qkv[..., :d].reshape(b, n, h, hd)
     k = qkv[..., d:2 * d].reshape(b, n, h, hd)
     v = qkv[..., 2 * d:].reshape(b, n, h, hd)
