@@ -15,17 +15,24 @@ and top-k stays on device; boxes come back in original page coordinates.
 Higher-resolution buckets reuse the same weights: the ViT resamples its
 position embeddings for larger patch grids (models/vit.py) and the anchor
 grid / RPN budgets are recomputed per bucket's static image size.
+
+The engine pipelines: decode-worker threads prepare batches ahead of the
+device, dispatches are asynchronous with a bounded in-flight window, and
+an optional ``jax.sharding.Mesh`` shards each batch over every device for
+multi-chip data-parallel serving (weights replicated once).
 """
 
 from __future__ import annotations
 
 import bisect
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from layoutdit_tpu.log import get_logger
 from layoutdit_tpu.models.detection.detector import (
@@ -54,6 +61,25 @@ class BatchInferenceEngine:
         bucket catches everything larger.
       batch_size: static batch per device call (padded).
       score_thresh: drop detections below this score.
+      int8: quantize the encoder's hot linears to W8A8-dynamic int8
+        (ops/quant.py). Measured NEUTRAL for dit-base on v5e (1.00x at
+        224/1024 px — see ops/quant.py); off by default, available for
+        GEMM-bound model shapes.
+      mesh: optional ``jax.sharding.Mesh`` for multi-chip data-parallel
+        serving: each device batch is sharded over ALL mesh axes jointly
+        (batch_size must divide evenly) and the weights are replicated
+        once at engine construction. GSPMD then runs each bucket's
+        ``detector_predict`` fully device-parallel with no collectives on
+        the hot path (detection is embarrassingly data-parallel).
+      decode_workers: host threads that decode/resize pages ahead of the
+        device (the device queue is fed asynchronously; see
+        ``max_in_flight``).
+      max_in_flight: dispatched-but-unfetched device batches to keep in
+        the pipeline. JAX dispatch is async, so the engine overlaps host
+        decode of batch i+1..i+k with device compute of batch i and only
+        blocks when the window is full — this hides dispatch latency and
+        host decode entirely behind compute. Bounds device memory to
+        ``max_in_flight`` input batches.
     """
 
     def __init__(
@@ -62,12 +88,40 @@ class BatchInferenceEngine:
         image_sizes: Sequence[int] = (224,),
         batch_size: int = 8,
         score_thresh: float = 0.05,
+        int8: bool = False,
+        mesh: Mesh | None = None,
+        decode_workers: int = 2,
+        max_in_flight: int = 4,
     ):
         self.model = model
         self.image_sizes = sorted(image_sizes)
         self.batch_size = batch_size
         self.score_thresh = score_thresh
+        self.mesh = mesh
+        self.decode_workers = decode_workers
+        self.max_in_flight = max(1, max_in_flight)
+        if int8:
+            from layoutdit_tpu.ops.quant import quantize_detector_params
+
+            params = quantize_detector_params(model.params)
+        else:
+            params = model.params
+        if mesh is not None:
+            if batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over the "
+                    f"{mesh.size}-device mesh"
+                )
+            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
+        self._params = params
         self._compiled: dict[int, object] = {}
+
+    @property
+    def params(self):
+        return self._params
 
     def _predict_fn(self, size: int):
         if size not in self._compiled:
@@ -111,9 +165,17 @@ class BatchInferenceEngine:
 
                 from PIL import Image
 
-                arr = np.asarray(
-                    Image.open(io.BytesIO(p)).convert("RGB"), np.float32
-                ).transpose(2, 0, 1) / 255.0
+                try:
+                    arr = np.asarray(
+                        Image.open(io.BytesIO(p)).convert("RGB"), np.float32
+                    ).transpose(2, 0, 1) / 255.0
+                except Exception:
+                    # Same failure semantics as the native loader: zero
+                    # image, orig == (0, 0) marks the slot invalid; the
+                    # rest of the batch proceeds.
+                    logger.warning("page %d failed to decode; zeroed", i)
+                    orig[i] = 0.0
+                    continue
             else:
                 arr = np.asarray(p, np.float32)
                 if arr.ndim == 3 and arr.shape[-1] == 3:  # HWC -> CHW
@@ -123,6 +185,26 @@ class BatchInferenceEngine:
             orig[i] = arr.shape[-2:]
             images[i] = resize_bilinear_np(arr, size, size)
         return images, orig
+
+    def _decode_padded(self, pages, size: int):
+        """Decode a chunk and pad it to the engine's static batch shape
+        (runs on a decode-worker thread)."""
+        images, orig = self._decode(pages, size)
+        pad = self.batch_size - len(pages)
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), np.float32)]
+            )
+            orig = np.concatenate([orig, np.ones((pad, 2), np.float32)])
+        return images, orig
+
+    def _put(self, images: np.ndarray, orig: np.ndarray):
+        if self._batch_sharding is not None:
+            return (
+                jax.device_put(images, self._batch_sharding),
+                jax.device_put(orig, self._batch_sharding),
+            )
+        return jnp.asarray(images), jnp.asarray(orig)
 
     def predict_pages(self, pages: Sequence) -> list[PageDetections]:
         """Run detection on a list of pages (one document or many)."""
@@ -137,8 +219,11 @@ class BatchInferenceEngine:
                 # PIL opens lazily: .size parses the JPEG header only —
                 # pixel data is decoded once, in _decode, after bucketing
                 # (which needs these sizes to pick the target resolution).
-                with Image.open(io.BytesIO(bytes(p))) as im:
-                    w, h = im.size
+                try:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        w, h = im.size
+                except Exception:
+                    w = h = 1  # corrupt page: smallest bucket, zeroed slot
             else:
                 arr = np.asarray(p)
                 h, w = (arr.shape[-2:] if arr.shape[0] in (1, 3)
@@ -150,32 +235,47 @@ class BatchInferenceEngine:
             buckets.setdefault(self._bucket_for(h, w), []).append(i)
 
         results: list[PageDetections | None] = [None] * len(pages)
+
+        def fetch(chunk, decoded_ok, dets):
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            labels = np.asarray(dets.labels)
+            valid = np.asarray(dets.valid) & (scores >= self.score_thresh)
+            for slot, page_idx in enumerate(chunk):
+                keep = valid[slot] & decoded_ok[slot]
+                results[page_idx] = PageDetections(
+                    boxes=boxes[slot][keep],
+                    scores=scores[slot][keep],
+                    labels=labels[slot][keep],
+                )
+
+        # Three-stage pipeline: decode-worker threads fill chunk buffers
+        # ahead, the main thread dispatches each ready chunk (JAX dispatch
+        # is async — the call returns before the device finishes), and
+        # fetches lag max_in_flight batches behind so device compute,
+        # host decode, and D2H transfers all overlap.
+        chunks = []
         for size, indices in buckets.items():
-            run = self._predict_fn(size)
             for start in range(0, len(indices), self.batch_size):
-                chunk = indices[start:start + self.batch_size]
-                chunk_pages = [pages[i] for i in chunk]
-                images, orig = self._decode(chunk_pages, size)
-                # pad to the static batch
-                pad = self.batch_size - len(chunk)
-                if pad:
-                    images = np.concatenate(
-                        [images, np.zeros((pad, *images.shape[1:]), np.float32)]
-                    )
-                    orig = np.concatenate([orig, np.ones((pad, 2), np.float32)])
-                dets = run(self.model.params, jnp.asarray(images),
-                           jnp.asarray(orig))
-                boxes = np.asarray(dets.boxes)
-                scores = np.asarray(dets.scores)
-                labels = np.asarray(dets.labels)
-                valid = np.asarray(dets.valid) & (scores >= self.score_thresh)
-                for slot, page_idx in enumerate(chunk):
-                    keep = valid[slot]
-                    results[page_idx] = PageDetections(
-                        boxes=boxes[slot][keep],
-                        scores=scores[slot][keep],
-                        labels=labels[slot][keep],
-                    )
+                chunks.append((size, indices[start:start + self.batch_size]))
+        in_flight: list[tuple[list[int], np.ndarray, object]] = []
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+            decoded = [
+                pool.submit(self._decode_padded, [pages[i] for i in chunk], size)
+                for size, chunk in chunks
+            ]
+            for (size, chunk), fut in zip(chunks, decoded):
+                run = self._predict_fn(size)
+                images, orig = fut.result()
+                decoded_ok = (orig > 0).all(axis=1)  # (0,0) = failed slot
+                in_flight.append(
+                    (chunk, decoded_ok,
+                     run(self.params, *self._put(images, orig)))
+                )
+                if len(in_flight) > self.max_in_flight:
+                    fetch(*in_flight.pop(0))
+        for chunk, decoded_ok, dets in in_flight:
+            fetch(chunk, decoded_ok, dets)
         return results  # type: ignore[return-value]
 
     def predict_document(self, pages: Sequence) -> list[PageDetections]:

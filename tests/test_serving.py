@@ -146,3 +146,68 @@ def test_serving_high_res_bucket(tiny_model):
         # boxes are rescaled back to the original page's coordinates
         assert result.boxes[:, 2].max() <= 640 + 1e-2
         assert result.boxes[:, 3].max() <= 700 + 1e-2
+
+
+def test_serving_pipeline_window(tiny_model):
+    """The async in-flight window returns identical detections regardless
+    of depth (pure pipelining, no numerics/order change)."""
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    rng = np.random.default_rng(5)
+    pages = [rng.uniform(0, 255, (60 + i, 50, 3)).astype(np.float32)
+             for i in range(10)]
+    ref = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=2, score_thresh=0.0,
+        max_in_flight=1,
+    ).predict_pages(pages)
+    got = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=2, score_thresh=0.0,
+        max_in_flight=8, decode_workers=4,
+    ).predict_pages(pages)
+    assert len(got) == len(ref) == 10
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.boxes, r.boxes, atol=1e-5)
+        np.testing.assert_allclose(g.scores, r.scores, atol=1e-6)
+        np.testing.assert_array_equal(g.labels, r.labels)
+
+
+def test_serving_mesh_data_parallel(tiny_model):
+    """Mesh-sharded serving (multi-chip dp) matches the single-device
+    engine exactly: batches shard over all 8 virtual devices, weights
+    replicate, no semantic change."""
+    from jax.sharding import Mesh
+
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    rng = np.random.default_rng(6)
+    pages = [rng.uniform(0, 255, (70, 50 + i, 3)).astype(np.float32)
+             for i in range(11)]
+    ref = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=8, score_thresh=0.0
+    ).predict_pages(pages)
+    got = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=8, score_thresh=0.0,
+        mesh=mesh,
+    ).predict_pages(pages)
+    assert len(got) == len(ref) == 11
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.boxes, r.boxes, atol=1e-4)
+        np.testing.assert_array_equal(g.labels, r.labels)
+
+    with pytest.raises(ValueError):
+        BatchInferenceEngine(tiny_model, batch_size=6, mesh=mesh)
+
+
+def test_serving_corrupt_page(tiny_model):
+    """A corrupt JPEG in a batch zeroes its slot (empty detections) and
+    does not take down the batch — same semantics as the native loader."""
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    rng = np.random.default_rng(7)
+    good = rng.uniform(0, 255, (60, 50, 3)).astype(np.float32)
+    results = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=2, score_thresh=0.0
+    ).predict_pages([good, b"\xff\xd8not-a-real-jpeg"])
+    assert len(results) == 2
+    assert len(results[1].boxes) == 0  # corrupt slot: no detections
