@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -73,12 +74,15 @@ class BatchInferenceEngine:
         the hot path (detection is embarrassingly data-parallel).
       decode_workers: host threads that decode/resize pages ahead of the
         device (the device queue is fed asynchronously; see
-        ``max_in_flight``).
+        ``max_in_flight``). Default: cpu_count - 1, floor 1 — decode
+        threads share cores with the dispatch/transfer path, and
+        oversubscribing a small host starves it (measured 2.3x slower
+        with 2 workers on a 1-core host, PERF_STAGES.md).
       max_in_flight: dispatched-but-unfetched device batches to keep in
         the pipeline. JAX dispatch is async, so the engine overlaps host
         decode of batch i+1..i+k with device compute of batch i and only
         blocks when the window is full — this hides dispatch latency and
-        host decode entirely behind compute. Bounds device memory to
+        host decode behind compute. Bounds device memory to
         ``max_in_flight`` input batches.
     """
 
@@ -90,9 +94,11 @@ class BatchInferenceEngine:
         score_thresh: float = 0.05,
         int8: bool = False,
         mesh: Mesh | None = None,
-        decode_workers: int = 2,
-        max_in_flight: int = 4,
+        decode_workers: int | None = None,
+        max_in_flight: int = 2,
     ):
+        if decode_workers is None:
+            decode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
         self.model = model
         self.image_sizes = sorted(image_sizes)
         self.batch_size = batch_size
