@@ -1,0 +1,78 @@
+"""AOT export artifact tests (layoutdit_tpu/export.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layoutdit_tpu.config.constructs import DetectionBudget
+from layoutdit_tpu.export import ExportedDetector, export_detector
+from layoutdit_tpu.models.backbone import BackboneConfig
+from layoutdit_tpu.models.detection.detector import (
+    DetectorConfig,
+    detector_predict,
+    init_detector_params,
+    rescale_detections,
+)
+from layoutdit_tpu.models.vit import ViTConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DetectorConfig(
+        backbone=BackboneConfig(
+            vit=ViTConfig(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          image_size=64),
+            fpn_out_channels=32,
+        ),
+        image_size=64,
+        budget=DetectionBudget(
+            rpn_pre_nms_top_n_test=50, rpn_post_nms_top_n_test=50,
+            box_detections_per_img=10,
+        ),
+    )
+    return cfg, init_detector_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_export_roundtrip(tiny, tmp_path):
+    """Serialized artifact reproduces in-process predictions exactly and
+    carries no dependency on the model code (flat leaves + StableHLO)."""
+    cfg, params = tiny
+    path = str(tmp_path / "artifact")
+    manifest = export_detector(params, cfg, path, image_sizes=(64,),
+                               batch_size=2)
+    assert manifest["image_sizes"] == [64]
+
+    art = ExportedDetector(path)
+    images = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 64, 64)), np.float32
+    )
+    orig = np.asarray([[60, 50], [64, 64]], np.float32)
+
+    got = art.predict(images, orig)
+    want = rescale_detections(
+        detector_predict(params, jnp.asarray(images), cfg),
+        jnp.asarray(orig), 64,
+    )
+    np.testing.assert_allclose(got["boxes"], np.asarray(want.boxes), atol=1e-5)
+    np.testing.assert_allclose(got["scores"], np.asarray(want.scores), atol=1e-6)
+    np.testing.assert_array_equal(got["labels"], np.asarray(want.labels))
+    np.testing.assert_array_equal(got["valid"], np.asarray(want.valid))
+
+
+def test_export_size_routing(tiny, tmp_path):
+    cfg, params = tiny
+    path = str(tmp_path / "artifact")
+    export_detector(params, cfg, path, image_sizes=(64,), batch_size=1)
+    art = ExportedDetector(path)
+    with pytest.raises(ValueError, match="no exported bucket"):
+        art.predict(np.zeros((1, 3, 128, 128), np.float32),
+                    np.ones((1, 2), np.float32))
+
+
+def test_export_bad_artifact(tmp_path):
+    (tmp_path / "manifest.json").write_text('{"format": "something-else"}')
+    with pytest.raises(ValueError, match="not a layoutdit_tpu export"):
+        ExportedDetector(str(tmp_path))
