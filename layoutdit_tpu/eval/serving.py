@@ -125,6 +125,22 @@ class BatchInferenceEngine:
         self._params = params
         self._compiled: dict[int, object] = {}
 
+    @classmethod
+    def from_corpus(
+        cls,
+        model,
+        page_sizes,
+        max_buckets: int = 3,
+        **kwargs,
+    ) -> "BatchInferenceEngine":
+        """Build an engine with cost-optimal buckets for a measured corpus
+        of (height, width) page sizes (eval/buckets.py DP planner)."""
+        from layoutdit_tpu.eval.buckets import plan_buckets
+
+        patch = getattr(model.cfg.backbone.vit, "patch_size", 16)
+        sizes = plan_buckets(page_sizes, k=max_buckets, patch=patch)
+        return cls(model, image_sizes=sizes, **kwargs)
+
     @property
     def params(self):
         return self._params
