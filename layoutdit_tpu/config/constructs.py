@@ -124,6 +124,16 @@ class TrainingConfig(BaseModel):
     # 1-core host. Epoch remainders still run the plain single-step path.
     steps_per_dispatch: int = 4
 
+    # Gradient accumulation: split each global batch into this many
+    # micro-batches inside the jitted step, average their gradients, and
+    # apply ONE optimizer update (torch-DDP accumulation semantics: the
+    # per-micro-batch losses are each normalized over their own sampled
+    # anchors/RoIs, then averaged). Lets batch_size exceed what fits in
+    # HBM — the companion to ModelConfig.remat for high-res training.
+    # Constraint: (batch_size / grad_accumulation_steps) must still
+    # divide over the data-parallel mesh axis.
+    grad_accumulation_steps: int = 1
+
 
 class EvalConfig(BaseModel):
     """Reference: config_constructs.py:47-59."""
@@ -216,6 +226,12 @@ class ModelConfig(BaseModel):
     # TwoMLPHead + class-agnostic predictor and refines the previous
     # stage's boxes. Empty = plain Faster R-CNN (reference parity).
     cascade_iou_threshs: list[float] = []
+
+    # Rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~1/3 extra encoder FLOPs for O(layers) -> O(1) activation
+    # memory — the standard lever for high-res training (4k+ tokens)
+    # on a fixed-HBM chip.
+    remat: bool = False
 
     # Optional ViT architecture overrides (hidden_size, num_hidden_layers,
     # ...) applied on top of the backbone preset — used for scaled-down

@@ -153,6 +153,7 @@ class DetectorConfig:
             roi_impl=mc.roi_impl,
             backbone_kind=backbone_kind,
             cascade_iou_threshs=tuple(mc.cascade_iou_threshs),
+            remat=mc.remat,
         )
 
 

@@ -150,15 +150,53 @@ class Trainer:
         data = batch_sharding(self.mesh)
         seq = sequence_sharding(self.mesh, self.config.mesh_config)
 
-        def step(params, opt_state, rng, images, gt_boxes, gt_labels, gt_valid):
-            def total_loss(p):
-                losses = detector_loss(
-                    p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
-                    seq_sharding=seq,
-                )
-                return sum(losses.values()), losses
+        accum = max(1, self.config.train_config.grad_accumulation_steps)
 
-            (loss, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        def total_loss(p, rng, images, gt_boxes, gt_labels, gt_valid):
+            losses = detector_loss(
+                p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
+                seq_sharding=seq,
+            )
+            return sum(losses.values()), losses
+
+        grad_of_loss = jax.value_and_grad(total_loss, has_aux=True)
+
+        def step(params, opt_state, rng, images, gt_boxes, gt_labels, gt_valid):
+            if accum == 1:
+                (loss, losses), grads = grad_of_loss(
+                    params, rng, images, gt_boxes, gt_labels, gt_valid
+                )
+            else:
+                # Micro-batch accumulation: scan over [A, B/A, ...] slices
+                # of the global batch, summing fp32 gradients; only the
+                # final averaged gradient meets the optimizer, so peak
+                # activation memory is one micro-batch's.
+                def split(x):
+                    return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+                micro = tuple(split(x) for x in
+                              (images, gt_boxes, gt_labels, gt_valid))
+                rngs = jax.random.split(rng, accum)
+
+                def body(acc, xs):
+                    g_acc, l_acc = acc
+                    (l, ls), g = grad_of_loss(params, xs[0], *xs[1:])
+                    g_acc = jax.tree_util.tree_map(
+                        lambda a, b: a + b.astype(jnp.float32), g_acc, g
+                    )
+                    return (g_acc, l_acc + l), ls
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                (g_sum, l_sum), losses_stack = jax.lax.scan(
+                    body, (zeros, 0.0), (rngs, *micro)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                loss = l_sum / accum
+                losses = jax.tree_util.tree_map(
+                    lambda x: x.mean(0), losses_stack
+                )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, losses
