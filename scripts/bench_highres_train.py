@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=6)
+    # unroll=1: at 1024 px the step is ~100x the scan-carry copy cost
+    # that motivated full unroll at 224 px (bench.py), and unrolling a
+    # 4k-token fwd+bwd graph 6x makes XLA compiles run past 10 min.
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
     assert args.batch % args.accum == 0
 
@@ -107,7 +111,7 @@ def main() -> None:
     def run(params, opt_state, key):
         keys = jax.random.split(key, args.steps)
         (_, _), losses = jax.lax.scan(
-            one_step, (params, opt_state), keys, unroll=args.steps
+            one_step, (params, opt_state), keys, unroll=args.unroll
         )
         return losses
 
