@@ -77,6 +77,14 @@ class MeshConfig(BaseModel):
     # constraint + the TP param shardings). Only meaningful when
     # model_parallel > 1; numerics-neutral. Forces the XLA attention path.
     sequence_parallel: bool = False
+    # Pipeline parallelism: split the encoder's layer stack into this many
+    # GPipe stages over a third mesh axis ('pipe'); layers%stages must be 0
+    # and the per-data-shard batch must divide into pipeline_microbatches
+    # (bubble fraction = (S-1)/(M+S-1)). Numerics-identical to the
+    # sequential loop (tests/test_pipeline.py). Forces the XLA attention
+    # path inside the stage program.
+    pipeline_parallel: int = 1
+    pipeline_microbatches: int = 4
     # Initialise jax.distributed (multi-host) when world size > 1.
     enable_distributed_init: bool = False
     # Explicit coordination (multi-host); None -> jax env-var / TPU-pod

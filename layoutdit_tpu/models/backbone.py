@@ -70,6 +70,7 @@ def backbone_forward(
     attention_impl: str = "xla",
     remat: bool = False,
     seq_sharding=None,
+    pipeline=None,
 ) -> list[jnp.ndarray]:
     """[B, 3, H, W] normalized pixels -> [p2, p3, p4, p5, pool] features.
 
@@ -83,7 +84,7 @@ def backbone_forward(
     hidden = vit_forward(
         params["vit"], pixels, cfg.vit, taps=cfg.taps,
         compute_dtype=compute_dtype, attention_impl=attention_impl,
-        remat=remat, seq_sharding=seq_sharding,
+        remat=remat, seq_sharding=seq_sharding, pipeline=pipeline,
     )
 
     # The reference resizes each 768-ch tap to its pyramid scale and THEN

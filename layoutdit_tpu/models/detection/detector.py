@@ -230,7 +230,8 @@ def _anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
     return jnp.asarray(a), counts
 
 
-def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None):
+def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None,
+               pipeline=None):
     x = _normalize(images, cfg).astype(cfg.dtype)
     if cfg.backbone_kind == "resnet50":
         from layoutdit_tpu.models.resnet import resnet_fpn_forward
@@ -240,7 +241,7 @@ def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None):
         feats = backbone_forward(
             params["backbone"], x, cfg.backbone,
             compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
-            remat=cfg.remat, seq_sharding=seq_sharding,
+            remat=cfg.remat, seq_sharding=seq_sharding, pipeline=pipeline,
         )
     objectness, deltas = rpn_head_forward(
         params["rpn_head"], feats, cfg.num_anchors_per_cell
@@ -285,15 +286,20 @@ def detector_loss(
     gt_valid: jnp.ndarray,  # [B, G] bool
     cfg: DetectorConfig,
     seq_sharding=None,
+    pipeline=None,
 ) -> dict[str, jnp.ndarray]:
     """Training forward -> the reference's four-loss dict
     (trainer.py:111-117 consumes the same keys).
 
     seq_sharding: optional NamedSharding enabling encoder sequence
     parallelism (see vit_forward) — a trace-time value closed over by the
-    caller's jit, not a traced argument."""
+    caller's jit, not a traced argument.
+    pipeline: optional parallel.pipeline.PipelineConfig — run the encoder
+    as a GPipe pipeline over the mesh's 'pipe' axis (also trace-time)."""
     anchors, counts = _anchors(cfg)
-    feats, objectness, deltas = _run_trunk(params, images, cfg, seq_sharding)
+    feats, objectness, deltas = _run_trunk(
+        params, images, cfg, seq_sharding, pipeline
+    )
 
     k_rpn, k_roi = jax.random.split(rng)
     loss_obj, loss_rpn_box = rpn_mod.rpn_loss(
@@ -388,10 +394,13 @@ def detector_predict(
     images: jnp.ndarray,  # [B, 3, S, S] in [0,1]
     cfg: DetectorConfig,
     seq_sharding=None,
+    pipeline=None,
 ) -> Detections:
     """Inference -> padded per-image detections (boxes in S-space)."""
     anchors, counts = _anchors(cfg)
-    feats, objectness, deltas = _run_trunk(params, images, cfg, seq_sharding)
+    feats, objectness, deltas = _run_trunk(
+        params, images, cfg, seq_sharding, pipeline
+    )
     props = rpn_mod.filter_proposals(
         objectness, deltas, anchors, counts,
         (cfg.image_size, cfg.image_size), cfg.budget, training=False,

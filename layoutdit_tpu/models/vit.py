@@ -313,6 +313,46 @@ def _rel_table_for_grid(table: jnp.ndarray, g0: int, g: int) -> jnp.ndarray:
     return jnp.concatenate([patch, table[-3:]], axis=0)
 
 
+def _layer_rel_bias(layer: dict, cfg: ViTConfig, rel_grid, shared_bias):
+    """Per-layer attention bias: the layer's own relative-position table
+    (resampled to the current grid) added onto the shared one, if any."""
+    bias = shared_bias
+    if "rel_pos_table" in layer:
+        idx = jnp.asarray(relative_position_index(rel_grid))
+        own = _gather_rel_bias(
+            _rel_table_for_grid(layer["rel_pos_table"], cfg.grid_size, rel_grid),
+            idx,
+        )
+        bias = own if bias is None else own + bias
+    return bias
+
+
+def encoder_block(
+    x: jnp.ndarray,
+    layer: dict,
+    cfg: ViTConfig,
+    bias,
+    attention_impl: str,
+) -> jnp.ndarray:
+    """One pre-LN transformer block (attention + GELU MLP, optional BEiT
+    layerscale) — the body shared by the sequential encoder loop and the
+    pipeline-parallel schedule (parallel/pipeline.py)."""
+    attn = _attention(
+        _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
+        layer, cfg, bias, attention_impl,
+    )
+    if "lambda_1" in layer:
+        attn = attn * layer["lambda_1"].astype(attn.dtype)
+    x = x + attn
+    y = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
+    y = _linear(y, layer["mlp_in"])
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+    y = _linear(y, layer["mlp_out"])
+    if "lambda_2" in layer:
+        y = y * layer["lambda_2"].astype(y.dtype)
+    return x + y
+
+
 def vit_forward(
     params: dict,
     pixels: jnp.ndarray,
@@ -322,6 +362,7 @@ def vit_forward(
     attention_impl: str = "xla",
     remat: bool = False,
     seq_sharding=None,
+    pipeline=None,
 ) -> list[jnp.ndarray]:
     """Run the encoder; return hidden states at ``taps`` (HF indexing:
     0 = embedding output, i = output of layer i). Empty taps -> [final].
@@ -342,8 +383,15 @@ def vit_forward(
     ones). Numerics are unchanged — this only pins activation layouts.
     Forces the XLA attention path (a pallas_call would gather its
     operands and forfeit the sharding anyway).
+
+    pipeline: optional ``parallel.pipeline.PipelineConfig`` — run the
+    layer stack as a GPipe pipeline over the mesh's ``pipe`` axis instead
+    of the sequential loop (numerics-identical; mutually exclusive with
+    seq_sharding; forces the XLA attention path inside the shard_map).
     """
-    if seq_sharding is not None:
+    if pipeline is not None and seq_sharding is not None:
+        raise ValueError("pipeline and seq_sharding are mutually exclusive")
+    if seq_sharding is not None or pipeline is not None:
         attention_impl = "xla"
     taps = tuple(taps) or (cfg.num_hidden_layers,)
     _, _, img_h, img_w = pixels.shape
@@ -395,30 +443,30 @@ def vit_forward(
         collected[0] = x
 
     def run_layer(x, layer):
-        bias = shared_bias
-        if "rel_pos_table" in layer:
-            idx = jnp.asarray(relative_position_index(rel_grid))
-            own = _gather_rel_bias(
-                _rel_table_for_grid(
-                    layer["rel_pos_table"], cfg.grid_size, rel_grid
-                ),
-                idx,
-            )
-            bias = own if bias is None else own + bias
-        attn = _attention(
-            _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
-            layer, cfg, bias, attention_impl,
+        bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
+        return seq_constrain(
+            encoder_block(x, layer, cfg, bias, attention_impl)
         )
-        if "lambda_1" in layer:
-            attn = attn * layer["lambda_1"].astype(attn.dtype)
-        x = x + attn
-        y = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
-        y = _linear(y, layer["mlp_in"])
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
-        y = _linear(y, layer["mlp_out"])
-        if "lambda_2" in layer:
-            y = y * layer["lambda_2"].astype(y.dtype)
-        return seq_constrain(x + y)
+
+    if pipeline is not None:
+        from layoutdit_tpu.parallel.pipeline import (
+            pipeline_encoder,
+            stack_layer_params,
+        )
+
+        # Stacking per call is a device-local relayout under jit; a
+        # production pipeline run can pre-stack once with
+        # stack_layer_params + shard_stacked_layers and keep that as the
+        # param layout (grads flow back to per-layer leaves either way).
+        hs = pipeline_encoder(
+            stack_layer_params(params["layers"]), x, cfg,
+            dataclasses.replace(pipeline, remat=pipeline.remat or remat),
+            rel_grid=rel_grid, shared_bias=shared_bias,
+        )
+        for li in taps:
+            if li > 0:
+                collected[li] = hs[li - 1]
+        return [collected[t] for t in taps]
 
     if remat:
         run_layer = jax.checkpoint(run_layer)

@@ -60,17 +60,23 @@ def maybe_distributed_init(cfg: MeshConfig) -> None:
 
 
 def build_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:
-    """Mesh over all devices: ('data', 'model') axes; data axis takes the
-    remainder when data_parallel == -1."""
+    """Mesh over all devices: ('data', 'model') axes (+ a trailing 'pipe'
+    axis when pipeline_parallel > 1); data axis takes the remainder when
+    data_parallel == -1."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = max(1, cfg.model_parallel)
-    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp != n:
+    pp = max(1, getattr(cfg, "pipeline_parallel", 1))
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // (mp * pp)
+    if dp * mp * pp != n:
         logger.warning(
-            "mesh %dx%d != %d devices; falling back to %dx1", dp, mp, n, n
+            "mesh %dx%dx%d != %d devices; falling back to %dx1",
+            dp, mp, pp, n, n,
         )
-        dp, mp = n, 1
+        dp, mp, pp = n, 1, 1
+    if pp > 1:
+        arr = np.asarray(devices).reshape(dp, mp, pp)
+        return Mesh(arr, axis_names=(*cfg.axis_names, "pipe"))
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=cfg.axis_names)
 
@@ -80,7 +86,11 @@ def build_mesh_for_batch(cfg: MeshConfig, batch_size: int) -> Mesh:
     shard evenly); uses the largest usable device prefix."""
     devices = jax.devices()
     mp = max(1, cfg.model_parallel)
-    dp_max = cfg.data_parallel if cfg.data_parallel > 0 else len(devices) // mp
+    pp = max(1, getattr(cfg, "pipeline_parallel", 1))
+    dp_max = (
+        cfg.data_parallel if cfg.data_parallel > 0
+        else len(devices) // (mp * pp)
+    )
     dp = max(d for d in range(1, dp_max + 1) if batch_size % d == 0)
     if dp != dp_max:
         logger.warning(
@@ -89,9 +99,11 @@ def build_mesh_for_batch(cfg: MeshConfig, batch_size: int) -> Mesh:
         )
     return build_mesh(
         MeshConfig(
-            data_parallel=dp, model_parallel=mp, axis_names=cfg.axis_names
+            data_parallel=dp, model_parallel=mp, pipeline_parallel=pp,
+            pipeline_microbatches=getattr(cfg, "pipeline_microbatches", 4),
+            axis_names=cfg.axis_names,
         ),
-        devices=devices[: dp * mp],
+        devices=devices[: dp * mp * pp],
     )
 
 
@@ -117,6 +129,21 @@ def sequence_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding | None:
     ):
         return None
     return NamedSharding(mesh, P(None, model_axis, None))
+
+
+def pipeline_config(mesh: Mesh, cfg: MeshConfig):
+    """PipelineConfig for the encoder when the mesh has a non-trivial
+    'pipe' axis, else None (callers pass it straight to detector_loss /
+    detector_predict / vit_forward's ``pipeline``)."""
+    if "pipe" not in mesh.axis_names or mesh.shape["pipe"] <= 1:
+        return None
+    from layoutdit_tpu.parallel.pipeline import PipelineConfig
+
+    return PipelineConfig(
+        mesh=mesh,
+        n_microbatches=max(1, getattr(cfg, "pipeline_microbatches", 4)),
+        data_axis=mesh.axis_names[0],
+    )
 
 
 def shard_batch_tree(tree, mesh: Mesh):

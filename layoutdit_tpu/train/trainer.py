@@ -39,6 +39,7 @@ from layoutdit_tpu.parallel.mesh import (
     build_mesh_for_batch,
     maybe_distributed_init,
     replicated_sharding,
+    pipeline_config,
     sequence_sharding,
 )
 
@@ -149,13 +150,14 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         seq = sequence_sharding(self.mesh, self.config.mesh_config)
+        pipe = pipeline_config(self.mesh, self.config.mesh_config)
 
         accum = max(1, self.config.train_config.grad_accumulation_steps)
 
         def total_loss(p, rng, images, gt_boxes, gt_labels, gt_valid):
             losses = detector_loss(
                 p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
-                seq_sharding=seq,
+                seq_sharding=seq, pipeline=pipe,
             )
             return sum(losses.values()), losses
 
