@@ -198,6 +198,40 @@ def test_pipeline_detector_loss_matches_single_device():
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
+def test_trainer_with_pp_mesh(tmp_path):
+    """Trainer end-to-end on a dp=2 x pp=2 mesh (tiny fixture) — mirrors
+    test_parallel.py::test_trainer_with_tp_mesh for the pipeline axis."""
+    import json
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.config.constructs import MeshConfig
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+    from layoutdit_tpu.train.trainer import Trainer
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=4,
+                         tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+    cfg.mesh_config = MeshConfig(
+        data_parallel=2, model_parallel=1,
+        pipeline_parallel=2, pipeline_microbatches=2,
+    )
+    cfg.train_config.steps_per_dispatch = 1
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert len(trainer.loss_history) == 1
+        assert np.isfinite(trainer.loss_history[0])
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_pipeline_config_trivial_mesh_is_none():
     from layoutdit_tpu.config.constructs import MeshConfig
     from layoutdit_tpu.parallel.mesh import build_mesh, pipeline_config
