@@ -71,6 +71,7 @@ def backbone_forward(
     remat: bool = False,
     seq_sharding=None,
     pipeline=None,
+    aux_out: dict | None = None,
 ) -> list[jnp.ndarray]:
     """[B, 3, H, W] normalized pixels -> [p2, p3, p4, p5, pool] features.
 
@@ -85,6 +86,7 @@ def backbone_forward(
         params["vit"], pixels, cfg.vit, taps=cfg.taps,
         compute_dtype=compute_dtype, attention_impl=attention_impl,
         remat=remat, seq_sharding=seq_sharding, pipeline=pipeline,
+        aux_out=aux_out,
     )
 
     # The reference resizes each 768-ch tap to its pyramid scale and THEN

@@ -231,7 +231,7 @@ def _anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
 
 
 def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None,
-               pipeline=None):
+               pipeline=None, aux_out: dict | None = None):
     x = _normalize(images, cfg).astype(cfg.dtype)
     if cfg.backbone_kind == "resnet50":
         from layoutdit_tpu.models.resnet import resnet_fpn_forward
@@ -242,6 +242,7 @@ def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None,
             params["backbone"], x, cfg.backbone,
             compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
             remat=cfg.remat, seq_sharding=seq_sharding, pipeline=pipeline,
+            aux_out=aux_out,
         )
     objectness, deltas = rpn_head_forward(
         params["rpn_head"], feats, cfg.num_anchors_per_cell
@@ -297,8 +298,9 @@ def detector_loss(
     pipeline: optional parallel.pipeline.PipelineConfig — run the encoder
     as a GPipe pipeline over the mesh's 'pipe' axis (also trace-time)."""
     anchors, counts = _anchors(cfg)
+    aux_out: dict = {}
     feats, objectness, deltas = _run_trunk(
-        params, images, cfg, seq_sharding, pipeline
+        params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
     )
 
     k_rpn, k_roi = jax.random.split(rng)
@@ -329,12 +331,19 @@ def detector_loss(
         )
         loss_cls, loss_box = fastrcnn_loss(class_logits, box_regression, samples)
 
-    return {
+    losses = {
         "loss_objectness": loss_obj,
         "loss_rpn_box_reg": loss_rpn_box,
         "loss_classifier": loss_cls,
         "loss_box_reg": loss_box,
     }
+    vit_cfg = cfg.backbone.vit
+    if cfg.backbone_kind == "dit" and vit_cfg.num_experts > 0:
+        # Switch load-balance loss — keeps the token routing uniform so
+        # expert-parallel shards stay load-balanced. Extra key on top of
+        # the reference's four; the trainer sums the dict either way.
+        losses["loss_moe_aux"] = vit_cfg.moe_aux_weight * aux_out["moe_aux"]
+    return losses
 
 
 def _base_head(params: dict) -> dict:

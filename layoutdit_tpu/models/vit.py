@@ -47,6 +47,23 @@ class ViTConfig:
     use_shared_relative_position_bias: bool = False
     layer_scale_init_value: float = 0.1
     initializer_range: float = 0.02
+    # Mixture-of-Experts MLP (ops/moe.py) — new capability beyond the
+    # reference (SURVEY §2.3: expert parallelism absent upstream).
+    # 0 = dense (reference parity). When > 0, every moe_every_n-th block
+    # (1-based layer index divisible by moe_every_n) replaces its dense
+    # MLP with num_experts token-routed experts; the expert dimension
+    # shards over the mesh's 'model' axis (expert parallelism).
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_every_n: int = 2
+    moe_aux_weight: float = 0.01
+
+    def is_moe_layer(self, layer_idx_1based: int) -> bool:
+        return (
+            self.num_experts > 0
+            and layer_idx_1based % max(1, self.moe_every_n) == 0
+        )
 
     @property
     def grid_size(self) -> int:
@@ -125,7 +142,7 @@ def init_vit_params(key: jax.Array, cfg: ViTConfig) -> dict:
         )
 
     layers = []
-    for _ in range(cfg.num_hidden_layers):
+    for li in range(1, cfg.num_hidden_layers + 1):
         layer = {
             "ln1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
             "ln2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
@@ -133,9 +150,22 @@ def init_vit_params(key: jax.Array, cfg: ViTConfig) -> dict:
             "k": {"kernel": tn(next(keys), (d, d))},  # no bias in BEiT
             "v": {"kernel": tn(next(keys), (d, d)), "bias": jnp.zeros((d,))},
             "attn_out": {"kernel": tn(next(keys), (d, d)), "bias": jnp.zeros((d,))},
-            "mlp_in": {"kernel": tn(next(keys), (d, i)), "bias": jnp.zeros((i,))},
-            "mlp_out": {"kernel": tn(next(keys), (i, d)), "bias": jnp.zeros((d,))},
         }
+        if cfg.is_moe_layer(li):
+            from layoutdit_tpu.ops.moe import init_moe_mlp_params
+
+            layer.update(
+                init_moe_mlp_params(
+                    next(keys), d, i, cfg.num_experts, cfg.initializer_range
+                )
+            )
+        else:
+            layer["mlp_in"] = {
+                "kernel": tn(next(keys), (d, i)), "bias": jnp.zeros((i,))
+            }
+            layer["mlp_out"] = {
+                "kernel": tn(next(keys), (i, d)), "bias": jnp.zeros((d,))
+            }
         if cfg.layer_scale_init_value > 0:
             layer["lambda_1"] = jnp.full((d,), cfg.layer_scale_init_value)
             layer["lambda_2"] = jnp.full((d,), cfg.layer_scale_init_value)
@@ -327,16 +357,19 @@ def _layer_rel_bias(layer: dict, cfg: ViTConfig, rel_grid, shared_bias):
     return bias
 
 
-def encoder_block(
+def encoder_block_aux(
     x: jnp.ndarray,
     layer: dict,
     cfg: ViTConfig,
     bias,
     attention_impl: str,
-) -> jnp.ndarray:
-    """One pre-LN transformer block (attention + GELU MLP, optional BEiT
-    layerscale) — the body shared by the sequential encoder loop and the
-    pipeline-parallel schedule (parallel/pipeline.py)."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One pre-LN transformer block (attention + MLP, optional BEiT
+    layerscale). The MLP is the dense GELU pair or, when the layer params
+    carry a router (ops/moe.py), a token-routed mixture of experts.
+
+    Returns (block output, fp32 aux scalar — the MoE load-balance loss,
+    0 for dense layers)."""
     attn = _attention(
         _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
         layer, cfg, bias, attention_impl,
@@ -345,12 +378,34 @@ def encoder_block(
         attn = attn * layer["lambda_1"].astype(attn.dtype)
     x = x + attn
     y = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
-    y = _linear(y, layer["mlp_in"])
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
-    y = _linear(y, layer["mlp_out"])
+    aux = jnp.zeros((), jnp.float32)
+    if "router" in layer:
+        from layoutdit_tpu.ops.moe import moe_mlp
+
+        y, aux = moe_mlp(
+            y, layer, cfg.num_experts, cfg.moe_top_k, cfg.moe_capacity_factor
+        )
+    else:
+        y = _linear(y, layer["mlp_in"])
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+        y = _linear(y, layer["mlp_out"])
     if "lambda_2" in layer:
         y = y * layer["lambda_2"].astype(y.dtype)
-    return x + y
+    return x + y, aux
+
+
+def encoder_block(
+    x: jnp.ndarray,
+    layer: dict,
+    cfg: ViTConfig,
+    bias,
+    attention_impl: str,
+) -> jnp.ndarray:
+    """Dense-layer block (the pipeline schedule's per-stage body,
+    parallel/pipeline.py — MoE layers are guarded out of the pipeline
+    path in vit_forward, so the dropped aux is always 0 here)."""
+    x, _ = encoder_block_aux(x, layer, cfg, bias, attention_impl)
+    return x
 
 
 def vit_forward(
@@ -363,9 +418,14 @@ def vit_forward(
     remat: bool = False,
     seq_sharding=None,
     pipeline=None,
+    aux_out: dict | None = None,
 ) -> list[jnp.ndarray]:
     """Run the encoder; return hidden states at ``taps`` (HF indexing:
     0 = embedding output, i = output of layer i). Empty taps -> [final].
+
+    aux_out: optional dict the caller owns; MoE encoders write the summed
+    load-balance loss into ``aux_out["moe_aux"]`` (fp32 scalar tracer,
+    valid in the caller's trace). Dense encoders write 0.
 
     pixels: [B, C, H, W] float (already normalized). H, W must be multiples
     of patch_size. For grids other than the trained one, absolute position
@@ -391,6 +451,12 @@ def vit_forward(
     """
     if pipeline is not None and seq_sharding is not None:
         raise ValueError("pipeline and seq_sharding are mutually exclusive")
+    if pipeline is not None and cfg.num_experts > 0:
+        raise ValueError(
+            "pipeline parallelism does not support MoE layers (the GPipe "
+            "stage body stacks homogeneous dense layers); shard experts "
+            "over the 'model' axis instead (expert parallelism)"
+        )
     if seq_sharding is not None or pipeline is not None:
         attention_impl = "xla"
     taps = tuple(taps) or (cfg.num_hidden_layers,)
@@ -444,9 +510,8 @@ def vit_forward(
 
     def run_layer(x, layer):
         bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
-        return seq_constrain(
-            encoder_block(x, layer, cfg, bias, attention_impl)
-        )
+        y, aux = encoder_block_aux(x, layer, cfg, bias, attention_impl)
+        return seq_constrain(y), aux
 
     if pipeline is not None:
         from layoutdit_tpu.parallel.pipeline import (
@@ -466,13 +531,19 @@ def vit_forward(
         for li in taps:
             if li > 0:
                 collected[li] = hs[li - 1]
+        if aux_out is not None:
+            aux_out["moe_aux"] = jnp.zeros((), jnp.float32)
         return [collected[t] for t in taps]
 
     if remat:
         run_layer = jax.checkpoint(run_layer)
 
+    total_aux = jnp.zeros((), jnp.float32)
     for li, layer in enumerate(params["layers"], start=1):
-        x = run_layer(x, layer)
+        x, aux = run_layer(x, layer)
+        total_aux = total_aux + aux
         if li in taps:
             collected[li] = x
+    if aux_out is not None:
+        aux_out["moe_aux"] = total_aux
     return [collected[t] for t in taps]

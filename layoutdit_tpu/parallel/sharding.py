@@ -15,6 +15,12 @@ Tensor-parallel layout (Megatron-style, for DiT-large and beyond):
 Data parallel: the batch is sharded over 'data'; gradients all-reduce
 implicitly because params are replicated along that axis.
 
+Expert parallel (ViTConfig.num_experts > 0, ops/moe.py): the stacked
+expert kernels [E, D, F] shard their E dim over 'model' — each shard owns
+E/tp experts, and the one-hot dispatch/combine einsums become the token
+exchange (GSPMD inserts the all-to-all-shaped collectives from the
+parameter shardings alone).
+
 Sequence parallel (MeshConfig.sequence_parallel): the encoder's [B, N, D]
 residual stream is constrained to P(None, 'model', None) at every block
 boundary (mesh.sequence_sharding -> vit_forward's seq_sharding). Combined
@@ -46,6 +52,14 @@ def _vit_layer_specs(model_axis: str) -> dict:
         "attn_out": {"kernel": row, "bias": P()},
         "mlp_in": {"kernel": col, "bias": P(model_axis)},
         "mlp_out": {"kernel": row, "bias": P()},
+        # MoE layers (ops/moe.py): EXPERT parallelism — the expert dim of
+        # the stacked [E, D, F] kernels shards over 'model', so each shard
+        # owns E/tp experts and GSPMD exchanges tokens at the dispatch /
+        # combine einsums. The router stays replicated (it is [D, E],
+        # tiny, and every shard needs all logits).
+        "router": {"kernel": P()},
+        "moe_in": {"kernel": P(model_axis, None, None), "bias": P(model_axis, None)},
+        "moe_out": {"kernel": P(model_axis, None, None), "bias": P(model_axis, None)},
         "ln1": {"scale": P(), "bias": P()},
         "ln2": {"scale": P(), "bias": P()},
         "lambda_1": P(),
