@@ -83,28 +83,30 @@ class LayoutDetectionModel:
 
     def save_checkpoint(
         self, base_path: str, run_name: str, epoch_num: int,
-        opt_state=None, extra: Optional[dict] = None,
+        opt_state=None, extra: Optional[dict] = None, tag: str = "",
     ) -> str:
         """Full-state checkpoint to ``{base}/{run}/model_checkpoints/``
         (reference save_checkpoint_to_gcs, model.py:90-121 — minus the
         redundant second device-copy, plus optimizer/epoch state so resume
-        is real)."""
+        is real). ``tag`` suffixes the filename (e.g. "preempt") so
+        out-of-cadence saves never collide with the periodic ones."""
         from layoutdit_tpu.train.checkpoint import (
             _is_nontrivially_sharded,
             save_checkpoint_sharded,
         )
 
         root = f"{base_path}/{run_name}/model_checkpoints"
+        stem = f"epoch_{epoch_num}" + (f"_{tag}" if tag else "")
         if _is_nontrivially_sharded(self.params):
             # TP/multi-host state: per-shard orbax directory — never
             # gathers full arrays to one host (VERDICT r1 weak #7)
-            path = f"{root}/epoch_{epoch_num}.orbax"
+            path = f"{root}/{stem}.orbax"
             save_checkpoint_sharded(
                 path, params=self.params, opt_state=opt_state,
                 epoch=epoch_num, extra=extra,
             )
         else:
-            path = f"{root}/epoch_{epoch_num}.msgpack"
+            path = f"{root}/{stem}.msgpack"
             save_checkpoint(
                 path,
                 params=self.params,

@@ -78,6 +78,43 @@ def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
     return tx
 
 
+class _PreemptionGuard:
+    """SIGTERM → graceful stop: finish the in-flight dispatch, checkpoint
+    full state, exit the epoch loop. TPU-VM / GKE preemption delivers
+    SIGTERM with a grace window; the reference has no preemption handling
+    at all (SURVEY.md §5 'Failure detection … None')."""
+
+    def __init__(self):
+        self.preempted = False
+        self._old = None
+
+    def __enter__(self):
+        import signal
+
+        try:
+            self._old = signal.signal(signal.SIGTERM, self._handle)
+        except ValueError:
+            # signal handlers can only be installed from the main thread
+            # (e.g. trainers driven from worker threads in tests) — run
+            # without the guard rather than fail.
+            self._old = None
+        return self
+
+    def _handle(self, signum, frame):
+        self.preempted = True
+        logger.warning(
+            "SIGTERM received — will checkpoint and stop after the "
+            "in-flight step"
+        )
+
+    def __exit__(self, *exc):
+        import signal
+
+        if self._old is not None:
+            signal.signal(signal.SIGTERM, self._old)
+        return False
+
+
 class Trainer:
     def __init__(self, config: LayoutDitConfig, model: LayoutDetectionModel):
         import fsspec
@@ -90,6 +127,7 @@ class Trainer:
         self.epoch_images_per_sec: list[float] = []
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
+        self._guard: _PreemptionGuard | None = None
 
         maybe_distributed_init(config.mesh_config)
         self.mesh = build_mesh_for_batch(
@@ -270,6 +308,9 @@ class Trainer:
             )
             key, sub = jax.random.split(key)
             losses.append(self._dispatch(batch, stacked, sub, n_steps))
+            if self._guard is not None and self._guard.preempted:
+                break  # partial epoch; the preempt save records self.epoch
+                # completed epochs, so resume redoes this one from its start
         avg = float(jnp.concatenate([jnp.atleast_1d(l) for l in losses]).mean()) \
             if losses else 0.0
         dt = time.time() - t0
@@ -306,18 +347,35 @@ class Trainer:
             jax.profiler.start_trace(self.trace_log_dir)
             profiling = True
         try:
-            for epoch in range(start, train_cfg.num_epochs):
-                self._run_epoch(epoch)
-                # per-EPOCH checkpoint cadence (the non-buggy variant)
-                if (epoch + 1) % train_cfg.checkpoint_interval == 0:
-                    path = self.model.save_checkpoint(
-                        self._artifact_base(), self.config.run_name, epoch + 1,
-                        opt_state=self.opt_state,
-                        extra={"loss_history": self.loss_history},
-                    )
-                    logger.info("Saved checkpoint to %s", path)
-                self.epoch = epoch + 1
+            with _PreemptionGuard() as guard:
+                self._guard = guard
+                for epoch in range(start, train_cfg.num_epochs):
+                    self._run_epoch(epoch)
+                    if guard.preempted:
+                        # epoch may be partial: record only the completed
+                        # count so resume restarts it from the beginning
+                        path = self.model.save_checkpoint(
+                            self._artifact_base(), self.config.run_name,
+                            self.epoch, opt_state=self.opt_state,
+                            extra={"loss_history": self.loss_history},
+                            tag="preempt",
+                        )
+                        logger.warning(
+                            "Preempted at epoch %d; saved %s — resume with "
+                            "--resume %s", epoch + 1, path, path,
+                        )
+                        break
+                    # per-EPOCH checkpoint cadence (the non-buggy variant)
+                    if (epoch + 1) % train_cfg.checkpoint_interval == 0:
+                        path = self.model.save_checkpoint(
+                            self._artifact_base(), self.config.run_name,
+                            epoch + 1, opt_state=self.opt_state,
+                            extra={"loss_history": self.loss_history},
+                        )
+                        logger.info("Saved checkpoint to %s", path)
+                    self.epoch = epoch + 1
         finally:
+            self._guard = None
             if profiling:
                 jax.profiler.stop_trace()
         self._save_loss()

@@ -84,6 +84,65 @@ def test_multi_step_dispatch(fixture_dir):
         set_layout_dit_config(None)
 
 
+@pytest.mark.slow
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training: the guard finishes the in-flight dispatch,
+    writes an out-of-cadence *_preempt checkpoint with the COMPLETED
+    epoch count, and train() returns cleanly; resume finishes the run."""
+    import glob
+    import signal
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=3)
+    write_fixture_config(root, epochs=3, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 100  # no cadence saves
+    set_layout_dit_config(cfg)
+    try:
+        from layoutdit_tpu.models.model import build_model
+        from layoutdit_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+
+        # Deliver SIGTERM to ourselves from inside the hot loop: the
+        # handler runs at the next bytecode boundary in this (main)
+        # thread — deterministic, no timers.
+        real_dispatch = trainer._dispatch
+        calls = {"n": 0}
+
+        def dispatch_then_sigterm(*a, **kw):
+            out = real_dispatch(*a, **kw)
+            calls["n"] += 1
+            if calls["n"] == 3:  # mid-epoch-2 (2 steps/epoch)
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        trainer._dispatch = dispatch_then_sigterm
+        trainer.train()  # returns instead of dying
+
+        assert trainer.epoch == 1  # epoch 2 was partial
+        ckpts = glob.glob(
+            os.path.join(root, "fixture", "model_checkpoints", "*_preempt.*")
+        )
+        assert len(ckpts) == 1 and "epoch_1_preempt" in ckpts[0]
+        # the handler was restored on exit from the guard
+        assert signal.getsignal(signal.SIGTERM) in (
+            signal.SIG_DFL, signal.default_int_handler,
+        ) or not callable(signal.getsignal(signal.SIGTERM))
+
+        # true resume from the preempt checkpoint redoes epoch 2 + runs 3
+        model2 = build_model(cfg)
+        trainer2 = Trainer(cfg, model2)
+        trainer2.resume(ckpts[0])
+        assert trainer2.epoch == 1
+        trainer2.train()
+        assert trainer2.epoch == 3
+        assert all(np.isfinite(l) for l in trainer2.loss_history)
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
