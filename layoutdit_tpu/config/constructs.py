@@ -116,6 +116,12 @@ class TrainingConfig(BaseModel):
     step_size: int = 10
     gamma: float = 0.1
     checkpoint_interval: int = 10
+    # Write periodic checkpoints from a background thread (serialization
+    # + storage write overlap the next epoch; the device->host snapshot
+    # is still synchronous). train() barriers on the in-flight write
+    # before returning, and the preemption save is always synchronous.
+    # Applies to the msgpack path; sharded orbax saves stay synchronous.
+    async_checkpoint: bool = True
 
     enable_profile: bool = False
     # Where jax.profiler traces are staged locally before GCS upload.

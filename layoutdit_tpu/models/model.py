@@ -84,12 +84,18 @@ class LayoutDetectionModel:
     def save_checkpoint(
         self, base_path: str, run_name: str, epoch_num: int,
         opt_state=None, extra: Optional[dict] = None, tag: str = "",
+        writer=None,
     ) -> str:
         """Full-state checkpoint to ``{base}/{run}/model_checkpoints/``
         (reference save_checkpoint_to_gcs, model.py:90-121 — minus the
         redundant second device-copy, plus optimizer/epoch state so resume
         is real). ``tag`` suffixes the filename (e.g. "preempt") so
-        out-of-cadence saves never collide with the periodic ones."""
+        out-of-cadence saves never collide with the periodic ones.
+        ``writer``: an optional train.checkpoint.AsyncCheckpointWriter —
+        the msgpack serialization + write then happen on its background
+        thread (snapshot still taken here, before buffers are donated);
+        the sharded orbax path stays synchronous (per-shard tensorstore
+        writes coordinate across processes)."""
         from layoutdit_tpu.train.checkpoint import (
             _is_nontrivially_sharded,
             save_checkpoint_sharded,
@@ -107,7 +113,8 @@ class LayoutDetectionModel:
             )
         else:
             path = f"{root}/{stem}.msgpack"
-            save_checkpoint(
+            save = writer.save if writer is not None else save_checkpoint
+            save(
                 path,
                 params=self.params,
                 opt_state=opt_state,

@@ -27,6 +27,26 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _build_payload(params, opt_state, epoch, extra, snapshot=_to_host):
+    return {
+        "params": snapshot(params),
+        "opt_state": snapshot(opt_state) if opt_state is not None else {},
+        "meta": {
+            "epoch": epoch,
+            "extra": json.dumps(extra or {}),
+            "has_opt_state": opt_state is not None,
+        },
+    }
+
+
+def _write_payload(path: str, payload: dict) -> None:
+    import fsspec
+
+    blob = serialization.to_bytes(payload)
+    with fsspec.open(path, "wb", auto_mkdir=True) as f:
+        f.write(_MAGIC + blob)
+
+
 def save_checkpoint(
     path: str,
     params: Any,
@@ -34,20 +54,57 @@ def save_checkpoint(
     epoch: int = 0,
     extra: Optional[dict] = None,
 ) -> None:
-    import fsspec
+    _write_payload(path, _build_payload(params, opt_state, epoch, extra))
 
-    payload = {
-        "params": _to_host(params),
-        "opt_state": _to_host(opt_state) if opt_state is not None else {},
-        "meta": {
-            "epoch": epoch,
-            "extra": json.dumps(extra or {}),
-            "has_opt_state": opt_state is not None,
-        },
-    }
-    blob = serialization.to_bytes(payload)
-    with fsspec.open(path, "wb", auto_mkdir=True) as f:
-        f.write(_MAGIC + blob)
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writes so training never blocks on storage
+    (SURVEY.md §7 build plan: "full state … async to GCS").
+
+    The device→host snapshot runs on the caller's thread — it must finish
+    before the train loop donates the parameter buffers to the next step —
+    with an explicit host COPY (on the CPU backend ``np.asarray`` can
+    alias the device buffer, which a later donation would corrupt).
+    Serialization and the fsspec write run on one worker thread; at most
+    one write is in flight (a second save waits for the first). Worker
+    errors surface on the next save()/wait() rather than being lost.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending = None
+
+    def save(
+        self,
+        path: str,
+        params: Any,
+        opt_state: Any = None,
+        epoch: int = 0,
+        extra: Optional[dict] = None,
+    ) -> None:
+        self.wait()  # ≤1 in flight; re-raise a failed previous write
+        payload = _build_payload(
+            params, opt_state, epoch, extra,
+            snapshot=lambda t: jax.tree_util.tree_map(np.array, t),
+        )
+        self._pending = self._executor.submit(_write_payload, path, payload)
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) lands; re-raise its
+        error here, on the training thread."""
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            fut.result()
+
+    def close(self) -> None:
+        try:
+            self.wait()
+        finally:
+            self._executor.shutdown(wait=True)
 
 
 def load_checkpoint(

@@ -346,6 +346,11 @@ class Trainer:
             os.makedirs(self.trace_log_dir, exist_ok=True)
             jax.profiler.start_trace(self.trace_log_dir)
             profiling = True
+        writer = None
+        if train_cfg.async_checkpoint:
+            from layoutdit_tpu.train.checkpoint import AsyncCheckpointWriter
+
+            writer = AsyncCheckpointWriter()
         try:
             with _PreemptionGuard() as guard:
                 self._guard = guard
@@ -353,7 +358,10 @@ class Trainer:
                     self._run_epoch(epoch)
                     if guard.preempted:
                         # epoch may be partial: record only the completed
-                        # count so resume restarts it from the beginning
+                        # count so resume restarts it from the beginning.
+                        # Synchronous save — the grace window may be short.
+                        if writer is not None:
+                            writer.wait()
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
                             self.epoch, opt_state=self.opt_state,
@@ -371,11 +379,17 @@ class Trainer:
                             self._artifact_base(), self.config.run_name,
                             epoch + 1, opt_state=self.opt_state,
                             extra={"loss_history": self.loss_history},
+                            writer=writer,
                         )
-                        logger.info("Saved checkpoint to %s", path)
+                        logger.info(
+                            "Saved checkpoint to %s%s", path,
+                            " (async)" if writer is not None else "",
+                        )
                     self.epoch = epoch + 1
         finally:
             self._guard = None
+            if writer is not None:
+                writer.close()  # barrier: checkpoints durable at return
             if profiling:
                 jax.profiler.stop_trace()
         self._save_loss()

@@ -162,6 +162,59 @@ def test_checkpoint_roundtrip(tmp_path):
     assert state["extra"]["loss_history"] == [1.0, 0.5]
 
 
+def test_async_checkpoint_writer_matches_sync(tmp_path):
+    """Background write produces a byte-compatible checkpoint, and the
+    snapshot is a real copy (later in-place mutation of the source arrays
+    cannot corrupt the pending write)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from layoutdit_tpu.train.checkpoint import (
+        AsyncCheckpointWriter,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"w": np.arange(12.0).reshape(3, 4), "b": {"x": np.ones(5)}}
+    opt = {"mu": np.zeros((3, 4))}
+    sync_path = str(tmp_path / "sync.msgpack")
+    async_path = str(tmp_path / "async.msgpack")
+    save_checkpoint(sync_path, params, opt, epoch=3, extra={"k": 1})
+
+    w = AsyncCheckpointWriter()
+    try:
+        w.save(async_path, params, opt, epoch=3, extra={"k": 1})
+        params["w"] += 100.0  # mutate AFTER submit — must not leak in
+        w.wait()
+    finally:
+        w.close()
+
+    zero = {"w": np.zeros((3, 4)), "b": {"x": np.zeros(5)}}
+    got = load_checkpoint(async_path, zero, {"mu": np.ones((3, 4))})
+    ref = load_checkpoint(sync_path, zero, {"mu": np.ones((3, 4))})
+    np.testing.assert_array_equal(
+        np.asarray(got["params"]["w"]), np.asarray(ref["params"]["w"])
+    )
+    assert got["epoch"] == 3 and got["extra"] == {"k": 1}
+    assert float(np.asarray(got["params"]["w"]).max()) < 100  # no mutation leak
+    del jnp
+
+
+def test_async_checkpoint_writer_surfaces_errors(tmp_path):
+    from layoutdit_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    blocker = tmp_path / "file"
+    blocker.write_text("x")
+    w = AsyncCheckpointWriter()
+    try:
+        # path nests under an existing FILE -> the worker's open() fails
+        w.save(str(blocker / "nested" / "ck.msgpack"), {"a": np.ones(2)})
+        with pytest.raises(OSError):
+            w.wait()
+    finally:
+        w.close()
+
+
 def test_checkpoint_rejects_garbage(tmp_path):
     from layoutdit_tpu.train.checkpoint import load_checkpoint
 
