@@ -85,6 +85,14 @@ class MeshConfig(BaseModel):
     # path inside the stage program.
     pipeline_parallel: int = 1
     pipeline_microbatches: int = 4
+    # Fully-sharded data parallelism (ZeRO-3 style): parameters, gradients
+    # and optimizer state shard their largest divisible dim over the DATA
+    # axis at rest; GSPMD all-gathers weights at use sites and
+    # reduce-scatters gradients back to the shards. Cuts per-chip
+    # param+optimizer memory by the dp degree (the lever for dit-large+
+    # when TP is not wanted); numerics-neutral (tests/test_fsdp.py).
+    # Composes with tensor parallelism (TP dims take precedence).
+    fsdp: bool = False
     # Initialise jax.distributed (multi-host) when world size > 1.
     enable_distributed_init: bool = False
     # Explicit coordination (multi-host); None -> jax env-var / TPU-pod

@@ -35,6 +35,7 @@ memory by the TP degree at high-res token counts. Numerics-neutral
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from layoutdit_tpu.log import get_logger
@@ -68,41 +69,118 @@ def _vit_layer_specs(model_axis: str) -> dict:
     }
 
 
-def detector_param_specs(params: dict, mesh: Mesh) -> dict:
+# Leaves smaller than this stay replicated under FSDP: sharding LN scales
+# or tiny biases buys nothing and costs an all-gather dispatch each.
+_FSDP_MIN_ELEMENTS = 2 ** 14
+
+
+def _fsdp_spec(leaf, spec: P, data_axis: str, dp: int) -> P:
+    """Extend ``spec`` with the data axis on the leaf's largest dim that is
+    still unsharded and divisible by dp (ZeRO-3 at-rest layout). Returns
+    ``spec`` unchanged when no dim qualifies or the leaf is small."""
+    shape = getattr(leaf, "shape", ())
+    if int(np.prod(shape or (0,))) < _FSDP_MIN_ELEMENTS:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if dims[i] is None and shape[i] % dp == 0:
+            dims[i] = data_axis
+            while dims and dims[-1] is None:
+                dims.pop()
+            return P(*dims)
+    return spec
+
+
+def detector_param_specs(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
     """PartitionSpec pytree for a detector parameter pytree.
 
-    With model_parallel == 1 everything is replicated (pure DP).
+    Default: replicated (pure DP) unless the mesh has a non-trivial model
+    axis (Megatron TP for the encoder). fsdp=True additionally shards each
+    large leaf's largest free dim over the DATA axis (ZeRO-3 at-rest
+    layout; optimizer state inherits it through jit-ed tx.init). GSPMD
+    turns the use sites into all-gathers and the gradients into
+    reduce-scatters — no hand-written collectives.
     """
     model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
     tp = model_axis is not None and mesh.shape[model_axis] > 1
+    data_axis = mesh.axis_names[0]
+    dp = mesh.shape[data_axis]
+    use_fsdp = fsdp and dp > 1
 
     def spec_for(path, leaf):
-        if not tp:
-            return P()
-        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if "vit" in keys and "layers" in keys:
-            layer_specs = _vit_layer_specs(model_axis)
-            # path like (backbone, vit, layers, <idx>, <block>, <param>)
-            for i, k in enumerate(keys):
-                if k in layer_specs:
-                    entry = layer_specs[k]
-                    if isinstance(entry, dict):
-                        return entry.get(keys[i + 1], P())
-                    return entry
-        return P()
+        spec = P()
+        if tp:
+            keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if "vit" in keys and "layers" in keys:
+                layer_specs = _vit_layer_specs(model_axis)
+                # path like (backbone, vit, layers, <idx>, <block>, <param>)
+                for i, k in enumerate(keys):
+                    if k in layer_specs:
+                        entry = layer_specs[k]
+                        if isinstance(entry, dict):
+                            spec = entry.get(keys[i + 1], P())
+                        else:
+                            spec = entry
+                        break
+        if use_fsdp:
+            spec = _fsdp_spec(leaf, spec, data_axis, dp)
+        return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def detector_param_shardings(params: dict, mesh: Mesh) -> dict:
+def detector_param_shardings(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
     return jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec),
-        detector_param_specs(params, mesh),
+        detector_param_specs(params, mesh, fsdp=fsdp),
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
+def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
     """Place a parameter pytree according to detector_param_shardings."""
-    shardings = detector_param_shardings(params, mesh)
+    shardings = detector_param_shardings(params, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def _path_key_strs(path) -> tuple:
+    return tuple(str(k) for k in path)
+
+
+def opt_state_shardings(tx, params: dict, mesh: Mesh):
+    """Shardings for ``tx.init(params)`` mirroring the params' layout.
+
+    ``jax.jit(tx.init)`` does NOT inherit param shardings: the moment
+    buffers are ``zeros_like`` outputs, data-unconnected to the inputs, so
+    XLA is free to place them on a single device — silently materialising
+    the full optimizer state on one chip (the exact thing FSDP/TP exist to
+    avoid). Optax states embed params-shaped subtrees (mu/nu/trace) keyed
+    by the same paths as the params, so each state leaf whose path ends
+    with a param's path (and matches its shape) takes that param's
+    sharding; everything else (step counts, empty states) is replicated.
+
+    Use as ``jax.jit(tx.init, out_shardings=opt_state_shardings(...))``.
+    """
+    replicated = NamedSharding(mesh, P())
+    by_suffix = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        by_suffix[_path_key_strs(path)] = (getattr(leaf, "shape", ()), leaf.sharding)
+
+    abstract = jax.eval_shape(tx.init, params)
+
+    def pick(path, leaf):
+        keys = _path_key_strs(path)
+        for i in range(len(keys)):
+            hit = by_suffix.get(keys[i:])
+            if hit is not None and hit[0] == leaf.shape:
+                return hit[1]
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(pick, abstract)
+
+
+def init_opt_state_sharded(tx, params: dict, mesh: Mesh):
+    """``tx.init(params)`` with moment buffers laid out like the params."""
+    return jax.jit(
+        tx.init, out_shardings=opt_state_shardings(tx, params, mesh)
+    )(params)

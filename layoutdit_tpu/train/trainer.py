@@ -139,7 +139,9 @@ class Trainer:
         # tensor-parallel over the 'model' axis when model_parallel > 1
         from layoutdit_tpu.parallel.sharding import shard_params
 
-        self.model.params = shard_params(self.model.params, self.mesh)
+        self.model.params = shard_params(
+            self.model.params, self.mesh, fsdp=config.mesh_config.fsdp
+        )
 
         self._build_dataloader()
         self._setup_optimizer()
@@ -179,8 +181,14 @@ class Trainer:
 
     def _setup_optimizer(self):
         self.tx = make_optimizer(self.config.train_config, len(self.dataloader))
-        # jit so moment buffers inherit the parameters' shardings
-        self.opt_state = jax.jit(self.tx.init)(self.model.params)
+        # explicit out_shardings: zeros_like moments are data-unconnected to
+        # the inputs, so a bare jit(tx.init) may single-device them —
+        # defeating TP/FSDP at-rest layout (parallel/sharding.py)
+        from layoutdit_tpu.parallel.sharding import init_opt_state_sharded
+
+        self.opt_state = init_opt_state_sharded(
+            self.tx, self.model.params, self.mesh
+        )
 
     def _build_train_step(self):
         cfg = self.model.cfg
