@@ -62,6 +62,12 @@ class DataLoaderConfig(BaseModel):
     prefetch_depth: int = 2
     # Per-image padded ground-truth budget (static shapes for jit).
     max_gt_boxes: int = 128
+    # Probability of horizontally flipping each TRAINING example (image +
+    # boxes, host-side, shape-preserving; 0 = off, reference parity — its
+    # pipeline has no augmentation, publay_dataset.py:44-74). Applied
+    # deterministically from (seed, epoch, example index), so runs
+    # reproduce regardless of worker count. Eval is never augmented.
+    augment_hflip: float = 0.0
 
 
 class MeshConfig(BaseModel):
@@ -155,6 +161,15 @@ class TrainingConfig(BaseModel):
     # Constraint: (batch_size / grad_accumulation_steps) must still
     # divide over the data-parallel mesh axis.
     grad_accumulation_steps: int = 1
+
+    # Exponential moving average of the parameters (0 = off). When set
+    # (e.g. 0.999), the jitted step also maintains ema = d*ema +
+    # (1-d)*params (seeded from the initial params, no debiasing —
+    # torch ModelEmaV2 semantics); the EMA weights ride checkpoints and
+    # are swapped in for evaluation. Standard detection fine-tuning
+    # stabilizer absent in the reference (its trainer.py:62-80 has only
+    # AdamW+StepLR).
+    ema_decay: float = 0.0
 
 
 class EvalConfig(BaseModel):

@@ -103,6 +103,7 @@ class DetectionLoader:
         use_native: bool | None = None,
         shardings: dict | None = None,
         stack_batches: int = 1,
+        augment_hflip: float = 0.0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -121,6 +122,7 @@ class DetectionLoader:
         # transfer setup amortize S-fold while the H2D still overlaps
         # compute in this thread. Epoch remainders yield plain batches.
         self.stack_batches = max(1, stack_batches)
+        self.augment_hflip = augment_hflip
         self.prefetch_depth = prefetch_depth
         self._epoch = 0
         if use_native is None:
@@ -231,6 +233,24 @@ class DetectionLoader:
                 image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
                 orig_sizes[slot] = orig
                 image_valid[slot] = True
+        if self.augment_hflip > 0:
+            # Horizontal flip in model space (image + x-coords of boxes).
+            # The decision hashes (seed, epoch, dataset index) — NOT slot
+            # or worker order — so an epoch's augmentation is reproducible
+            # under any num_workers/stack_batches (DataLoaderConfig).
+            for slot, idx in enumerate(idxs):
+                if not image_valid[slot]:
+                    continue
+                r = np.random.default_rng(
+                    (self.seed, self._epoch, int(idx), 0xF11B)
+                ).random()
+                if r < self.augment_hflip:
+                    images[slot] = images[slot][:, :, ::-1]
+                    v = gt_valid[slot]
+                    x1 = gt_boxes[slot][v, 0].copy()
+                    x2 = gt_boxes[slot][v, 2].copy()
+                    gt_boxes[slot][v, 0] = s - x2
+                    gt_boxes[slot][v, 2] = s - x1
         return DetectionBatch(
             images, gt_boxes, gt_labels, gt_valid, image_ids, orig_sizes,
             image_valid,

@@ -81,6 +81,12 @@ def main() -> None:
         if args.resume:
             trainer.resume(args.resume)
         trainer.train()
+        if trainer.ema_params is not None:
+            # evaluate the EMA weights (TrainingConfig.ema_decay) — the
+            # raw weights are still in the checkpoint's params slot
+            logger.info("Evaluating with EMA parameters (decay=%s)",
+                        layout_dit_config.train_config.ema_decay)
+            model.params = trainer.ema_params
 
     if not args.skip_eval:
         evaluator = Evaluator(model=model, layout_dit_config=layout_dit_config)

@@ -143,6 +143,16 @@ class Trainer:
             self.model.params, self.mesh, fsdp=config.mesh_config.fsdp
         )
 
+        # EMA of the params (TrainingConfig.ema_decay): a distinct buffer
+        # seeded from the initial params (x*1 forces a copy — the train
+        # step donates its inputs, so ema must not alias params), same
+        # shardings via propagation.
+        self.ema_params = None
+        if config.train_config.ema_decay > 0:
+            self.ema_params = jax.jit(
+                lambda t: jax.tree_util.tree_map(lambda x: x * 1, t)
+            )(self.model.params)
+
         self._build_dataloader()
         self._setup_optimizer()
         self._build_train_step()
@@ -177,6 +187,7 @@ class Trainer:
             },
             stack_batches=max(1, self.config.train_config.steps_per_dispatch),
             prefetch_depth=dl_cfg.prefetch_depth,
+            augment_hflip=dl_cfg.augment_hflip,
         )
 
     def _setup_optimizer(self):
@@ -249,30 +260,54 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, losses
 
+        ema_decay = self.config.train_config.ema_decay
+
+        def ema_update(ema, params):
+            return jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1 - ema_decay),
+                ema, params,
+            )
+
+        def step_ema(params, opt_state, ema, rng, *batch):
+            params, opt_state, loss, losses = step(
+                params, opt_state, rng, *batch
+            )
+            return params, opt_state, ema_update(ema, params), loss, losses
+
         # params/opt keep their committed (DP-replicated or TP-sharded)
         # placements; only the batch gets an explicit data-axis sharding.
-        self._train_step = jax.jit(
-            step,
-            in_shardings=(None, None, rep, data, data, data, data),
-            out_shardings=(None, None, rep, rep),
-            donate_argnums=(0, 1),
-        )
+        if ema_decay > 0:
+            self._train_step = jax.jit(
+                step_ema,
+                in_shardings=(None, None, None, rep, data, data, data, data),
+                out_shardings=(None, None, None, rep, rep),
+                donate_argnums=(0, 1, 2),
+            )
+        else:
+            self._train_step = jax.jit(
+                step,
+                in_shardings=(None, None, rep, data, data, data, data),
+                out_shardings=(None, None, rep, rep),
+                donate_argnums=(0, 1),
+            )
 
-        def multi_step(params, opt_state, rng, images, gt_boxes, gt_labels,
-                       gt_valid):
+        def multi_step(params, opt_state, ema, rng, images, gt_boxes,
+                       gt_labels, gt_valid):
             """lax.scan over stacked micro-batches: one dispatch for N
             steps (amortizes per-call host round trips)."""
 
             def body(carry, xs):
-                params, opt_state, rng = carry
+                params, opt_state, ema, rng = carry
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss, _ = step(
                     params, opt_state, sub, *xs
                 )
-                return (params, opt_state, rng), loss
+                if ema_decay > 0:
+                    ema = ema_update(ema, params)
+                return (params, opt_state, ema, rng), loss
 
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, rng),
+            (params, opt_state, ema, _), losses = jax.lax.scan(
+                body, (params, opt_state, ema, rng),
                 (images, gt_boxes, gt_labels, gt_valid),
                 # unrolling lets XLA keep the carried params in compute-
                 # friendly layouts across chained steps instead of
@@ -280,17 +315,19 @@ class Trainer:
                 # (~5 ms/step measured at unroll=1, bench.py notes)
                 unroll=min(4, self.config.train_config.steps_per_dispatch),
             )
-            return params, opt_state, losses
+            return params, opt_state, ema, losses
 
-        # stacked batches: [S, B, ...] with B sharded over 'data'
+        # stacked batches: [S, B, ...] with B sharded over 'data'.
+        # EMA off: a 0-size placeholder rides the ema slot so one jit
+        # signature serves both modes.
         sdata = NamedSharding(
             self.mesh, PartitionSpec(None, self.mesh.axis_names[0])
         )
         self._train_multi_step = jax.jit(
             multi_step,
-            in_shardings=(None, None, rep, sdata, sdata, sdata, sdata),
-            out_shardings=(None, None, rep),
-            donate_argnums=(0, 1),
+            in_shardings=(None, None, None, rep, sdata, sdata, sdata, sdata),
+            out_shardings=(None, None, None, rep),
+            donate_argnums=(0, 1, 2),
         )
 
     # ------------------------------------------------------------- loops
@@ -333,18 +370,38 @@ class Trainer:
     def _dispatch(self, b, stacked: bool, rng, step_num: int):
         """Run 1 (plain batch) or S (super-batch lax.scan) training steps
         in one device call; returns device loss scalar(s)."""
+        ema_on = self.ema_params is not None
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step_num):
             if not stacked:
-                self.model.params, self.opt_state, loss, _ = self._train_step(
-                    self.model.params, self.opt_state, rng,
-                    b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
-                )
+                if ema_on:
+                    (self.model.params, self.opt_state, self.ema_params,
+                     loss, _) = self._train_step(
+                        self.model.params, self.opt_state, self.ema_params,
+                        rng, b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                    )
+                else:
+                    self.model.params, self.opt_state, loss, _ = self._train_step(
+                        self.model.params, self.opt_state, rng,
+                        b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                    )
                 return loss
-            self.model.params, self.opt_state, losses = self._train_multi_step(
-                self.model.params, self.opt_state, rng,
+            ema_in = self.ema_params if ema_on else jnp.zeros(())
+            (self.model.params, self.opt_state, ema_out,
+             losses) = self._train_multi_step(
+                self.model.params, self.opt_state, ema_in, rng,
                 b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
             )
+            if ema_on:
+                self.ema_params = ema_out
             return losses
+
+    def _ckpt_opt_state(self):
+        """Training-state blob for the checkpoint's opt_state slot; the
+        EMA weights ride alongside the optimizer state when enabled (the
+        config's ema_decay must match between save and resume)."""
+        if self.ema_params is None:
+            return self.opt_state
+        return {"tx": self.opt_state, "ema": self.ema_params}
 
     def train(self):
         train_cfg = self.config.train_config
@@ -372,7 +429,7 @@ class Trainer:
                             writer.wait()
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
-                            self.epoch, opt_state=self.opt_state,
+                            self.epoch, opt_state=self._ckpt_opt_state(),
                             extra={"loss_history": self.loss_history},
                             tag="preempt",
                         )
@@ -385,7 +442,7 @@ class Trainer:
                     if (epoch + 1) % train_cfg.checkpoint_interval == 0:
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
-                            epoch + 1, opt_state=self.opt_state,
+                            epoch + 1, opt_state=self._ckpt_opt_state(),
                             extra={"loss_history": self.loss_history},
                             writer=writer,
                         )
@@ -419,10 +476,14 @@ class Trainer:
         )
         state = loader(
             checkpoint_path, params_template=self.model.params,
-            opt_state_template=self.opt_state,
+            opt_state_template=self._ckpt_opt_state(),
         )
         self.model.params = state["params"]
-        self.opt_state = state["opt_state"]
+        if self.ema_params is not None:
+            self.opt_state = state["opt_state"]["tx"]
+            self.ema_params = state["opt_state"]["ema"]
+        else:
+            self.opt_state = state["opt_state"]
         self.epoch = state["epoch"]
         self.loss_history = state["extra"].get("loss_history", [])
         logger.info("Resumed from %s at epoch %d", checkpoint_path, self.epoch)

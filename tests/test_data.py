@@ -256,3 +256,37 @@ def test_loader_stacked_super_batches(fixture_dataset):
         np.asarray(stacked.gt_boxes),
         np.stack([want[0].gt_boxes, want[1].gt_boxes]),
     )
+
+
+def test_loader_hflip_augmentation(fixture_dataset):
+    """augment_hflip=1.0 mirrors every image and its box x-coords in model
+    space; 0.0 (the default, reference parity) leaves data untouched; the
+    flip decision is keyed by (seed, epoch, example idx), so it reproduces
+    across loader instances and worker counts."""
+    kw = dict(batch_size=5, shuffle=False, device_put=False, image_size=64)
+    plain = next(iter(DetectionLoader(fixture_dataset, **kw)))
+    flipped = next(iter(
+        DetectionLoader(fixture_dataset, augment_hflip=1.0, **kw)
+    ))
+    s = 64
+    np.testing.assert_allclose(
+        flipped.images, plain.images[:, :, :, ::-1], atol=0
+    )
+    v = plain.gt_valid
+    np.testing.assert_allclose(flipped.gt_boxes[v][:, 0], s - plain.gt_boxes[v][:, 2])
+    np.testing.assert_allclose(flipped.gt_boxes[v][:, 2], s - plain.gt_boxes[v][:, 0])
+    np.testing.assert_array_equal(flipped.gt_boxes[v][:, 1], plain.gt_boxes[v][:, 1])
+    np.testing.assert_array_equal(flipped.gt_labels, plain.gt_labels)
+    # boxes stay well-formed: x1 < x2 within [0, S]
+    assert (flipped.gt_boxes[v][:, 0] < flipped.gt_boxes[v][:, 2]).all()
+    assert (flipped.gt_boxes[v] >= 0).all() and (flipped.gt_boxes[v] <= s).all()
+    # determinism at p=0.5: two loaders with the same seed agree exactly
+    a = next(iter(DetectionLoader(fixture_dataset, augment_hflip=0.5, seed=3, **kw)))
+    b = next(iter(DetectionLoader(fixture_dataset, augment_hflip=0.5, seed=3, **kw)))
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.gt_boxes, b.gt_boxes)
+    # ... and a p=0.5 epoch actually mixes flipped and unflipped examples
+    flips = [
+        not np.array_equal(a.images[i], plain.images[i]) for i in range(5)
+    ]
+    assert any(flips) and not all(flips)
