@@ -162,6 +162,13 @@ class TrainingConfig(BaseModel):
     # divide over the data-parallel mesh axis.
     grad_accumulation_steps: int = 1
 
+    # LR schedule family: "step" = the reference's StepLR (step_size /
+    # gamma above); "cosine" = half-cosine decay to 0 over the run.
+    lr_schedule: str = "step"
+    # Linear LR warmup over the first N optimizer updates (0 = off,
+    # reference parity). Composes with either schedule.
+    warmup_steps: int = 0
+
     # Exponential moving average of the parameters (0 = off). When set
     # (e.g. 0.999), the jitted step also maintains ema = d*ema +
     # (1-d)*params (seeded from the initial params, no debiasing —

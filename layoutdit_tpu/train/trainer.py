@@ -59,17 +59,39 @@ def resolve_split(config: LayoutDitConfig, train: bool = True) -> tuple[str, str
     return f"{base}/{segment}/", f"{base}/{segment}.json"
 
 
-def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
-    """AdamW + StepLR(gamma^(epoch // step_size)) as one optax chain."""
+def make_lr_schedule(train_cfg: TrainingConfig, steps_per_epoch: int):
+    """Update-count -> learning rate.
+
+    ``step`` (default): StepLR(gamma^(epoch // step_size)) — the
+    reference recipe (trainer.py:70-76). ``cosine``: half-cosine decay
+    to 0 over the full run. Either composes with ``warmup_steps`` linear
+    warmup (0 -> lr over the first N updates) — standard for detection
+    fine-tunes, absent in the reference. jnp ops throughout: optax
+    evaluates the schedule inside the jitted update."""
 
     def lr_schedule(count):
-        epoch = count // max(1, steps_per_epoch)
-        return train_cfg.learning_rate * (
-            train_cfg.gamma ** (epoch // train_cfg.step_size)
-        )
+        if train_cfg.lr_schedule == "cosine":
+            total = max(1, train_cfg.num_epochs * steps_per_epoch)
+            t = jnp.minimum(count, total) / total
+            base = train_cfg.learning_rate * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        else:
+            epoch = count // max(1, steps_per_epoch)
+            base = train_cfg.learning_rate * (
+                train_cfg.gamma ** (epoch // train_cfg.step_size)
+            )
+        if train_cfg.warmup_steps > 0:
+            base = base * jnp.minimum(
+                1.0, (count + 1) / train_cfg.warmup_steps
+            )
+        return base
 
+    return lr_schedule
+
+
+def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
+    """AdamW + the configured LR schedule as one optax chain."""
     tx = optax.adamw(
-        learning_rate=lr_schedule,
+        learning_rate=make_lr_schedule(train_cfg, steps_per_epoch),
         b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=train_cfg.weight_decay,
     )
@@ -125,6 +147,11 @@ class Trainer:
         self.loss_history: list[float] = []
         # steady-state observability: per-epoch images/sec as logged
         self.epoch_images_per_sec: list[float] = []
+        # structured per-epoch records -> {run}/metrics.jsonl (the
+        # reference logs loss only, to stdout; SURVEY.md §5 "no
+        # structured metrics store")
+        self.metrics_history: list[dict] = []
+        self._total_updates = 0
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
         self._guard: _PreemptionGuard | None = None
@@ -199,6 +226,9 @@ class Trainer:
 
         self.opt_state = init_opt_state_sharded(
             self.tx, self.model.params, self.mesh
+        )
+        self._lr_schedule = make_lr_schedule(
+            self.config.train_config, len(self.dataloader)
         )
 
     def _build_train_step(self):
@@ -361,6 +391,15 @@ class Trainer:
         dt = time.time() - t0
         self.loss_history.append(avg)
         self.epoch_images_per_sec.append(n_images / max(dt, 1e-9))
+        # one optimizer update per step (grad accumulation happens inside
+        # the step); lr evaluated at the post-epoch update count
+        self._total_updates += n_steps
+        self.metrics_history.append({
+            "epoch": epoch + 1,
+            "loss": avg,
+            "images_per_sec": round(n_images / max(dt, 1e-9), 2),
+            "learning_rate": float(self._lr_schedule(self._total_updates)),
+        })
         logger.info(
             "Epoch %d/%d, Loss: %.4f (%.1f img/s)",
             epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),
@@ -458,6 +497,7 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
         self._save_loss()
+        self._save_metrics()
         if train_cfg.enable_profile:
             self._save_traces(self.config.run_name)
 
@@ -513,6 +553,23 @@ class Trainer:
         with self.fs_open(loss_path, "wb", auto_mkdir=True) as f:
             fig.savefig(f, format="png", bbox_inches="tight")
         plt.close(fig)
+
+    def _save_metrics(self):
+        """Structured per-epoch metrics (loss, img/s, lr) as JSONL next to
+        the loss curve — machine-readable observability the reference
+        lacks (its metrics live only in log lines)."""
+        import json
+
+        if not self.metrics_history:
+            return
+        path = (
+            f"{self._artifact_base()}/{self.config.run_name}"
+            "/metrics/metrics.jsonl"
+        )
+        with self.fs_open(path, "w", auto_mkdir=True) as f:
+            for rec in self.metrics_history:
+                f.write(json.dumps(rec) + "\n")
+        logger.info("Saved metrics to %s", path)
 
     def _save_traces(self, run_name: str):
         """Upload profiler traces (reference trainer.py:232-257), keeping

@@ -39,6 +39,11 @@ def test_full_pipeline(fixture_dir):
         ckpt = os.path.join(run_dir, "model_checkpoints", "epoch_1.msgpack")
         assert os.path.exists(ckpt)
         assert os.path.exists(os.path.join(run_dir, "loss_history", "loss_curve.png"))
+        with open(os.path.join(run_dir, "metrics", "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert len(recs) == 1 and recs[0]["epoch"] == 1
+        assert recs[0]["loss"] == trainer.loss_history[0]
+        assert recs[0]["learning_rate"] > 0 and recs[0]["images_per_sec"] > 0
 
         evaluator = Evaluator(model=model, layout_dit_config=cfg)
         metrics = evaluator.score()
