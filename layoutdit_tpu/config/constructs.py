@@ -162,6 +162,14 @@ class TrainingConfig(BaseModel):
     # divide over the data-parallel mesh axis.
     grad_accumulation_steps: int = 1
 
+    # Evaluate every N epochs during training (0 = off, reference parity
+    # — it evaluates once, after training). Each eval runs the full COCO
+    # scorer on the eval split, records mAP in metrics.jsonl, and keeps
+    # a rolling best-mAP checkpoint at model_checkpoints/best.*. With
+    # EMA enabled the EMA weights are what gets evaluated (and saved as
+    # the best checkpoint's params — the deployable weights).
+    eval_interval: int = 0
+
     # LR schedule family: "step" = the reference's StepLR (step_size /
     # gamma above); "cosine" = half-cosine decay to 0 over the run.
     lr_schedule: str = "step"

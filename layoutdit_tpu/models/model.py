@@ -84,7 +84,7 @@ class LayoutDetectionModel:
     def save_checkpoint(
         self, base_path: str, run_name: str, epoch_num: int,
         opt_state=None, extra: Optional[dict] = None, tag: str = "",
-        writer=None,
+        writer=None, stem: Optional[str] = None,
     ) -> str:
         """Full-state checkpoint to ``{base}/{run}/model_checkpoints/``
         (reference save_checkpoint_to_gcs, model.py:90-121 — minus the
@@ -102,7 +102,10 @@ class LayoutDetectionModel:
         )
 
         root = f"{base_path}/{run_name}/model_checkpoints"
-        stem = f"epoch_{epoch_num}" + (f"_{tag}" if tag else "")
+        # stem overrides the epoch-numbered name for rolling checkpoints
+        # (e.g. "best" — overwritten whenever eval improves)
+        if stem is None:
+            stem = f"epoch_{epoch_num}" + (f"_{tag}" if tag else "")
         if _is_nontrivially_sharded(self.params):
             # TP/multi-host state: per-shard orbax directory — never
             # gathers full arrays to one host (VERDICT r1 weak #7)

@@ -152,6 +152,10 @@ class Trainer:
         # structured metrics store")
         self.metrics_history: list[dict] = []
         self._total_updates = 0
+        # mid-training eval (TrainingConfig.eval_interval)
+        self.best_map = float("-inf")
+        self.best_checkpoint_path: str | None = None
+        self._evaluator = None
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
         self._guard: _PreemptionGuard | None = None
@@ -434,6 +438,43 @@ class Trainer:
                 self.ema_params = ema_out
             return losses
 
+    def _mid_eval(self, epoch: int) -> None:
+        """Score the eval split mid-training (TrainingConfig.eval_interval):
+        mAP lands in metrics.jsonl and a rolling best-mAP checkpoint is
+        kept at model_checkpoints/best.*. With EMA enabled the EMA weights
+        are evaluated — and saved as the best checkpoint's params (the
+        weights that actually achieved the metric)."""
+        from layoutdit_tpu.eval.evaluator import Evaluator
+
+        if self._evaluator is None:
+            self._evaluator = Evaluator(
+                model=self.model, layout_dit_config=self.config
+            )
+        saved = None
+        if self.ema_params is not None:
+            saved, self.model.params = self.model.params, self.ema_params
+        try:
+            metrics = self._evaluator.score()
+            m = float(metrics["mAP"]) if metrics else float("nan")
+            if self.metrics_history:
+                self.metrics_history[-1]["mAP"] = m
+            logger.info("Eval at epoch %d: mAP=%.4f", epoch + 1, m)
+            if np.isfinite(m) and m > self.best_map:
+                self.best_map = m
+                self.best_checkpoint_path = self.model.save_checkpoint(
+                    self._artifact_base(), self.config.run_name, epoch + 1,
+                    opt_state=self._ckpt_opt_state(),
+                    extra={"mAP": m, "epoch": epoch + 1,
+                           "ema": self.ema_params is not None},
+                    stem="best",
+                )
+                logger.info(
+                    "New best mAP %.4f -> %s", m, self.best_checkpoint_path
+                )
+        finally:
+            if saved is not None:
+                self.model.params = saved
+
     def _ckpt_opt_state(self):
         """Training-state blob for the checkpoint's opt_state slot; the
         EMA weights ride alongside the optimizer state when enabled (the
@@ -477,6 +518,11 @@ class Trainer:
                             "--resume %s", epoch + 1, path, path,
                         )
                         break
+                    if (
+                        train_cfg.eval_interval > 0
+                        and (epoch + 1) % train_cfg.eval_interval == 0
+                    ):
+                        self._mid_eval(epoch)
                     # per-EPOCH checkpoint cadence (the non-buggy variant)
                     if (epoch + 1) % train_cfg.checkpoint_interval == 0:
                         path = self.model.save_checkpoint(

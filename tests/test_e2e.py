@@ -227,3 +227,33 @@ def test_checkpoint_rejects_garbage(tmp_path):
     p.write_bytes(b"not a checkpoint")
     with pytest.raises(ValueError):
         load_checkpoint(str(p), params_template={})
+
+
+def test_mid_training_eval_tracks_best(tmp_path):
+    """TrainingConfig.eval_interval: COCO eval every N epochs, mAP in the
+    metrics records, rolling best checkpoint at model_checkpoints/best.*."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=1)
+    write_fixture_config(root, epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.eval_interval = 1
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        maps = [rec.get("mAP") for rec in trainer.metrics_history]
+        assert len(maps) == 2 and all(m is not None for m in maps)
+        assert trainer.best_checkpoint_path is not None
+        assert os.path.exists(trainer.best_checkpoint_path)
+        assert "best" in os.path.basename(trainer.best_checkpoint_path)
+        assert trainer.best_map == max(maps)
+        # metrics.jsonl carries the mAP column too
+        with open(os.path.join(root, "fixture", "metrics", "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert [r.get("mAP") for r in recs] == maps
+    finally:
+        set_layout_dit_config(None)
