@@ -1,0 +1,166 @@
+"""Offline prediction CLI: checkpoint + page images -> detections JSON.
+
+The reference has no inference entry point at all — its only CLI trains
+then evaluates (main.py:12-43). This tool is the deployment-facing
+counterpart: it loads a trained checkpoint, routes pages through the
+bucketed ``BatchInferenceEngine`` (eval/serving.py — pipelined decode,
+static-shape jitted predict per bucket, optional multi-chip mesh), and
+writes one JSON record per page plus optional box-overlay JPEGs.
+
+Usage:
+  python -m layoutdit_tpu.tools.predict \
+      --checkpoint runs/x/model_checkpoints/best.msgpack \
+      --input 'pages/*.jpg' --output detections.json \
+      [--sizes 224 512 1024 | --auto-buckets 3] [--batch-size 8]
+      [--score-thresh 0.3] [--visualize viz_dir/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+from layoutdit_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+# PubLayNet label inventory (reference data, scripts/data_gen.sh) — used
+# for name annotation when the model has the default 5 classes.
+PUBLAYNET_NAMES = {1: "text", 2: "title", 3: "list", 4: "table", 5: "figure"}
+
+
+def collect_inputs(pattern: str) -> list[str]:
+    """Directory, glob, or single file -> sorted image paths."""
+    if os.path.isdir(pattern):
+        paths = [
+            os.path.join(pattern, f)
+            for f in os.listdir(pattern)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        ]
+    else:
+        paths = glob.glob(pattern)
+    if not paths:
+        raise FileNotFoundError(f"no input images match {pattern!r}")
+    return sorted(paths)
+
+
+def _page_sizes(paths: list[str]) -> list[tuple[int, int]]:
+    """(h, w) per page — PIL parses only the header, no pixel decode."""
+    from PIL import Image
+
+    sizes = []
+    for p in paths:
+        with Image.open(p) as im:
+            w, h = im.size
+        sizes.append((h, w))
+    return sizes
+
+
+def _visualize(path: str, dets, out_path: str, names: dict) -> None:
+    from PIL import Image, ImageDraw
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        draw = ImageDraw.Draw(im)
+        for box, score, label in zip(dets.boxes, dets.scores, dets.labels):
+            x1, y1, x2, y2 = [float(v) for v in box]
+            draw.rectangle([x1, y1, x2, y2], outline="red", width=2)
+            draw.text(
+                (x1, max(0.0, y1 - 12)),
+                f"{names.get(int(label), int(label))}:{float(score):.2f}",
+                fill="red",
+            )
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        im.save(out_path, "JPEG")
+
+
+def run(args) -> list[dict]:
+    from layoutdit_tpu.config import get_layout_dit_config
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+    from layoutdit_tpu.models.model import build_model
+
+    config = get_layout_dit_config()
+    model = build_model(config)
+    model.restore_checkpoint(args.checkpoint)
+    logger.info("Loaded checkpoint %s", args.checkpoint)
+
+    paths = collect_inputs(args.input)
+    logger.info("Predicting %d pages", len(paths))
+
+    kwargs = dict(
+        batch_size=args.batch_size,
+        score_thresh=args.score_thresh,
+        int8=args.int8,
+    )
+    if args.auto_buckets:
+        engine = BatchInferenceEngine.from_corpus(
+            model, _page_sizes(paths), max_buckets=args.auto_buckets, **kwargs
+        )
+    else:
+        engine = BatchInferenceEngine(
+            model, image_sizes=tuple(args.sizes), **kwargs
+        )
+    logger.info("Serving buckets: %s", engine.image_sizes)
+
+    pages = [open(p, "rb").read() for p in paths]
+    detections = engine.predict_pages(pages)
+
+    n_classes = config.detection_model_config.num_classes
+    names = PUBLAYNET_NAMES if n_classes == 5 else {}
+    records = []
+    for path, dets in zip(paths, detections):
+        records.append({
+            "file": path,
+            "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
+            "scores": [round(float(s), 4) for s in dets.scores],
+            "labels": [int(l) for l in dets.labels],
+            "label_names": [
+                names.get(int(l), str(int(l))) for l in dets.labels
+            ],
+        })
+        if args.visualize:
+            out = os.path.join(
+                args.visualize, os.path.basename(path) + ".pred.jpg"
+            )
+            _visualize(path, dets, out, names)
+
+    if args.output:
+        import fsspec
+
+        with fsspec.open(args.output, "w", auto_mkdir=True) as f:
+            f.write(json.dumps(records, indent=1))
+        logger.info("Wrote %d page records to %s", len(records), args.output)
+    return records
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Run layout detection on page images"
+    )
+    parser.add_argument("--checkpoint", required=True,
+                        help="framework checkpoint (.msgpack or .orbax dir)")
+    parser.add_argument("--input", required=True,
+                        help="image file, directory, or glob")
+    parser.add_argument("--output", default=None,
+                        help="detections JSON path (fsspec: local or gs://)")
+    parser.add_argument("--sizes", type=int, nargs="+", default=[224],
+                        help="serving bucket resolutions")
+    parser.add_argument("--auto-buckets", type=int, default=0,
+                        help="plan N cost-optimal buckets from the input "
+                             "pages' sizes instead of --sizes")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--score-thresh", type=float, default=0.05)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 W8A8 encoder (ops/quant.py)")
+    parser.add_argument("--visualize", default=None,
+                        help="directory for box-overlay JPEGs")
+    args = parser.parse_args(argv)
+    # offline tool: don't probe gs:// for config unless the user set it up
+    os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Offline prediction CLI (tools/predict.py): checkpoint -> detections
+JSON + overlays over the serving engine. New deployment surface — the
+reference has no inference entry point (main.py:12-43 trains+evals only)."""
+
+import json
+import os
+
+import pytest
+
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.models.model import build_model
+from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+from layoutdit_tpu.tools.predict import collect_inputs, main
+
+
+def test_collect_inputs_modes(tmp_path):
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    (tmp_path / "b.png").write_bytes(b"x")
+    (tmp_path / "c.txt").write_bytes(b"x")
+    assert collect_inputs(str(tmp_path)) == [
+        str(tmp_path / "a.jpg"), str(tmp_path / "b.png")
+    ]
+    assert collect_inputs(str(tmp_path / "*.jpg")) == [str(tmp_path / "a.jpg")]
+    with pytest.raises(FileNotFoundError):
+        collect_inputs(str(tmp_path / "*.gif"))
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    root = str(tmp_path)
+    make_fixture(root, n_images=6, split="samples", seed=2)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ckpt = model.save_checkpoint(root, "run", 1)
+
+        out = os.path.join(root, "dets.json")
+        viz = os.path.join(root, "viz")
+        main([
+            "--checkpoint", ckpt,
+            "--input", os.path.join(root, "samples"),
+            "--output", out,
+            "--sizes", "64",
+            "--batch-size", "4",
+            "--score-thresh", "0.0",
+            "--visualize", viz,
+        ])
+        records = json.load(open(out))
+        assert len(records) == 6
+        for rec in records:
+            assert os.path.exists(rec["file"])
+            assert len(rec["boxes"]) == len(rec["scores"]) == len(rec["labels"])
+            assert len(rec["label_names"]) == len(rec["labels"])
+            for b in rec["boxes"]:
+                assert len(b) == 4
+            # random-init model, thresh 0: the static detection budget is
+            # fully populated -> boxes exist and are in page coordinates
+            assert rec["boxes"]
+        vizzed = [f for f in os.listdir(viz) if f.endswith(".pred.jpg")]
+        assert len(vizzed) == 6
+        # label names resolve through the PubLayNet inventory (5 classes)
+        assert any(
+            n in {"text", "title", "list", "table", "figure"}
+            for rec in records for n in rec["label_names"]
+        )
+    finally:
+        set_layout_dit_config(None)
