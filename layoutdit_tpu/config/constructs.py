@@ -200,6 +200,10 @@ class EvalConfig(BaseModel):
     max_per_image: int = 10
     visualize_dirpath_prefix: str = "visualizations"
     num_images: Optional[int] = 20
+    # extend the 12 COCO summary stats with AP-{class}/AP50-{class}
+    # (the per-class breakdown PubLayNet results are reported with;
+    # not surfaced by the reference's evaluator.py:71-77)
+    per_category_metrics: bool = True
 
 
 class DetectionBudget(BaseModel):

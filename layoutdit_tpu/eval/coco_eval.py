@@ -100,6 +100,9 @@ class CocoEvaluator:
 
     def __init__(self, coco_gt: dict):
         self.cat_ids = [c["id"] for c in coco_gt["categories"]]
+        self.cat_names = {
+            c["id"]: str(c.get("name", c["id"])) for c in coco_gt["categories"]
+        }
         self.img_ids = [im["id"] for im in coco_gt["images"]]
         self._gt: dict[tuple, list] = {
             (i, c): [] for i in self.img_ids for c in self.cat_ids
@@ -322,9 +325,18 @@ class CocoEvaluator:
 
     # ----------------------------------------------------------- interface
 
-    def evaluate(self, predictions: list[dict]) -> dict[str, float]:
+    def evaluate(
+        self, predictions: list[dict], per_category: bool = False
+    ) -> dict[str, float]:
         """predictions: [{image_id, category_id, bbox [x,y,w,h], score}]
-        -> the 12 standard COCO metrics."""
+        -> the 12 standard COCO metrics.
+
+        per_category additionally reports ``AP-{name}`` / ``AP50-{name}``
+        per class (area=all, maxDet=100) — the breakdown PubLayNet-style
+        layout papers publish (text/title/list/table/figure). pycocotools
+        exposes the same numbers only by indexing ``eval['precision']``
+        by hand; the reference never surfaces them (evaluator.py:71-77
+        keeps the 12 summary stats only)."""
         dt: dict[tuple, list] = {k: [] for k in self._gt}
         for p in predictions:
             key = (p["image_id"], p["category_id"])
@@ -379,4 +391,17 @@ class CocoEvaluator:
             _ar(max_det=1), _ar(max_det=10), _ar(max_det=100),
             _ar(area="small"), _ar(area="medium"), _ar(area="large"),
         ]
-        return dict(zip(COCO_KEYS, values))
+        metrics = dict(zip(COCO_KEYS, values))
+        if per_category:
+            ai, di = a_names.index("all"), MAX_DETS.index(100)
+            for ci, cat in enumerate(self.cat_ids):
+                name = self.cat_names[cat]
+                p_all = precision[:, :, ci, ai, di]
+                p50 = precision[0:1, :, ci, ai, di]
+                metrics[f"AP-{name}"] = (
+                    float(p_all[p_all > -1].mean()) if (p_all > -1).any() else -1.0
+                )
+                metrics[f"AP50-{name}"] = (
+                    float(p50[p50 > -1].mean()) if (p50 > -1).any() else -1.0
+                )
+        return metrics

@@ -135,7 +135,10 @@ class Evaluator:
             return None
 
         self._save_predictions_json(all_predictions)
-        metrics = self.coco_eval.evaluate(all_predictions)
+        metrics = self.coco_eval.evaluate(
+            all_predictions,
+            per_category=self.eval_config.per_category_metrics,
+        )
         logger.info(
             "COCO metrics: %s",
             " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),

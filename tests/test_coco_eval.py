@@ -200,3 +200,46 @@ def test_eval_throughput_10k_images():
     dt = time.time() - t0
     assert 0.3 < m["mAP"] <= 1.0
     assert dt < 60, f"10k-image eval took {dt:.1f}s"
+
+
+def test_per_category_breakdown():
+    # cat "text": perfect match -> AP 1.0; cat "table": missed -> AP 0.0;
+    # the aggregate mAP averages the two. Mirrors how PubLayNet papers
+    # report per-class AP (a breakdown the reference never surfaces).
+    gt = {
+        "images": [{"id": 1, "width": 224, "height": 224}],
+        "annotations": [_gt(1, 1, [10, 10, 50, 60], 1),
+                        _gt(1, 2, [100, 100, 40, 40], 2)],
+        "categories": [{"id": 1, "name": "text"}, {"id": 2, "name": "table"}],
+    }
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.9},
+    ]
+    ev = CocoEvaluator(gt)
+    m12 = ev.evaluate(preds)
+    assert set(m12) == set(COCO_KEYS)  # off by default
+
+    m = ev.evaluate(preds, per_category=True)
+    assert m["AP-text"] == 1.0 and m["AP50-text"] == 1.0
+    assert m["AP-table"] == 0.0 and m["AP50-table"] == 0.0
+    assert abs(m["mAP"] - 0.5) < 1e-6
+    # aggregate keys are untouched by the breakdown
+    for k in COCO_KEYS:
+        assert m[k] == m12[k]
+
+
+def test_per_category_unlabeled_class_is_minus_one():
+    # a category with no gt anywhere stays -1 (COCO convention), and is
+    # excluded from the aggregate mean, matching _ap()'s p > -1 filter
+    gt = {
+        "images": [{"id": 1, "width": 224, "height": 224}],
+        "annotations": [_gt(1, 1, [10, 10, 50, 60], 1)],
+        "categories": [{"id": 1, "name": "text"}, {"id": 2, "name": "figure"}],
+    }
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 60], "score": 0.9},
+    ]
+    m = CocoEvaluator(gt).evaluate(preds, per_category=True)
+    assert m["AP-text"] == 1.0
+    assert m["AP-figure"] == -1.0 and m["AP50-figure"] == -1.0
+    assert m["mAP"] == 1.0
