@@ -26,9 +26,21 @@ from layoutdit_tpu.log import get_logger
 
 logger = get_logger(__name__)
 
-# PubLayNet label inventory (reference data, scripts/data_gen.sh) — used
-# for name annotation when the model has the default 5 classes.
-PUBLAYNET_NAMES = {1: "text", 2: "title", 3: "list", 4: "table", 5: "figure"}
+def _label_names(n_classes: int, dataset: str | None) -> dict:
+    """Class-id -> name map from the dataset-adapter inventories
+    (data/adapters.py). Explicit --dataset wins; otherwise matched by
+    the model's class count (labels are 1-based, background is 0)."""
+    from layoutdit_tpu.data.adapters import SPECS
+
+    if dataset:
+        spec = SPECS[dataset]
+    else:
+        spec = next(
+            (s for s in SPECS.values() if s.num_classes == n_classes), None
+        )
+    if spec is None or spec.num_classes != n_classes:
+        return {}
+    return {i + 1: n for i, n in enumerate(spec.class_names)}
 
 
 def collect_inputs(pattern: str) -> list[str]:
@@ -108,7 +120,7 @@ def run(args) -> list[dict]:
     detections = engine.predict_pages(pages)
 
     n_classes = config.detection_model_config.num_classes
-    names = PUBLAYNET_NAMES if n_classes == 5 else {}
+    names = _label_names(n_classes, args.dataset)
     records = []
     for path, dets in zip(paths, detections):
         records.append({
@@ -154,6 +166,10 @@ def main(argv=None) -> None:
     parser.add_argument("--score-thresh", type=float, default=0.05)
     parser.add_argument("--int8", action="store_true",
                         help="int8 W8A8 encoder (ops/quant.py)")
+    parser.add_argument("--dataset", default=None,
+                        choices=["publaynet", "doclaynet", "docbank"],
+                        help="label-name inventory (default: inferred "
+                             "from the model's class count)")
     parser.add_argument("--visualize", default=None,
                         help="directory for box-overlay JPEGs")
     args = parser.parse_args(argv)

@@ -66,3 +66,13 @@ def test_predict_cli_end_to_end(tmp_path):
         )
     finally:
         set_layout_dit_config(None)
+
+
+def test_label_names_inventories():
+    from layoutdit_tpu.tools.predict import _label_names
+
+    assert _label_names(5, None)[1] == "text"
+    assert _label_names(11, None)[11] == "Title"        # doclaynet by count
+    assert _label_names(13, "docbank")[13] == "title"
+    assert _label_names(7, None) == {}                  # unknown count
+    assert _label_names(7, "docbank") == {}             # mismatched override
