@@ -1,0 +1,278 @@
+"""HTTP inference server: a dynamic-batching REST front end over the
+bucketed serving engine.
+
+The reference stops at offline eval (evaluator.py — there is no serving
+or even inference entry point); this is the online deployment surface.
+Stdlib-only (`http.server`): concurrent POSTs land in a queue, a single
+dispatcher thread coalesces them into engine-sized batches (up to
+``--max-batch`` pages or a ``--flush-ms`` window, whichever first) and
+runs ONE bucketed device call per batch — the classic dynamic-batching
+pattern that keeps the TPU's static-shape executables full under
+ragged request arrival.
+
+Endpoints:
+  GET  /healthz   -> {"status": "ok"}
+  GET  /info      -> buckets, batch size, class inventory
+  POST /predict   -> body = image bytes (JPEG/PNG) ->
+                     {"boxes": [[x1,y1,x2,y2]..], "scores": [..],
+                      "labels": [..], "label_names": [..]}
+                     (boxes in original page coordinates)
+
+Usage:
+  python -m layoutdit_tpu.tools.serve --checkpoint ckpt.msgpack \
+      --port 8000 --sizes 224 1024 [--batch-size 8] [--flush-ms 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from layoutdit_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+class _Waiter:
+    """One in-flight request: the handler thread blocks on ``event``
+    until the dispatcher fills ``result`` (or ``error``)."""
+
+    __slots__ = ("page", "event", "result", "error")
+
+    def __init__(self, page: bytes):
+        self.page = page
+        self.event = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-page requests into engine batches.
+
+    A request thread calls ``submit(page)`` and blocks; the dispatcher
+    thread drains the queue up to ``max_batch`` pages — waiting at most
+    ``flush_ms`` after the first arrival to let a batch fill — then runs
+    ``engine.predict_pages`` once for the whole batch. Per-batch device
+    work therefore amortizes dispatch latency and fills the static batch
+    the jitted predict executable was compiled for.
+    """
+
+    def __init__(self, engine, max_batch: int | None = None,
+                 flush_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = max_batch or engine.batch_size
+        self.flush_s = flush_ms / 1000.0
+        self._q: queue.Queue[_Waiter | None] = queue.Queue()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._loop, name="batcher", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, page: bytes, timeout: float = 300.0):
+        """Blocking: returns PageDetections for one page."""
+        w = _Waiter(page)
+        self._q.put(w)
+        if not w.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if w.error is not None:
+            raise w.error
+        return w.result
+
+    def _collect(self) -> list[_Waiter] | None:
+        """One batch: block for the first request, then fill until
+        max_batch or the flush window closes. None = shutdown."""
+        import time
+
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.flush_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:  # re-queue shutdown for the outer loop
+                self._q.put(None)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                dets = self.engine.predict_pages([w.page for w in batch])
+                for w, d in zip(batch, dets):
+                    w.result = d
+            except Exception as e:  # noqa: BLE001 — fulfil every waiter
+                logger.exception("batch of %d failed", len(batch))
+                for w in batch:
+                    w.error = e
+            finally:
+                for w in batch:
+                    w.event.set()
+
+
+def detections_to_json(dets, names: dict) -> dict:
+    return {
+        "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
+        "scores": [round(float(s), 4) for s in dets.scores],
+        "labels": [int(l) for l in dets.labels],
+        "label_names": [names.get(int(l), str(int(l))) for l in dets.labels],
+    }
+
+
+def make_handler(batcher: DynamicBatcher, names: dict, info: dict):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/info":
+                self._json(200, info)
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST image bytes"})
+                return
+            page = self.rfile.read(length)
+            try:
+                dets = batcher.submit(page)
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                self._json(500, {"error": str(e)})
+                return
+            payload = detections_to_json(dets, names)
+            # corrupt/undecodable page: engine zeroes the slot -> no boxes
+            if not payload["boxes"] and not _decodable(page):
+                self._json(422, {"error": "page failed to decode"})
+                return
+            self._json(200, payload)
+
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.info("%s %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def _decodable(page: bytes) -> bool:
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(page)) as im:
+            im.size  # header parse only
+        return True
+    except Exception:
+        return False
+
+
+def make_server(model, host: str, port: int, *, image_sizes=(224,),
+                batch_size: int = 8, score_thresh: float = 0.05,
+                flush_ms: float = 5.0, max_batch: int | None = None,
+                int8: bool = False, dataset: str | None = None):
+    """(ThreadingHTTPServer, DynamicBatcher) — batcher already started.
+    Split from main() so tests can run the server in-process."""
+    from layoutdit_tpu.config import get_layout_dit_config
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+    from layoutdit_tpu.tools.predict import _label_names
+
+    engine = BatchInferenceEngine(
+        model, image_sizes=tuple(image_sizes), batch_size=batch_size,
+        score_thresh=score_thresh, int8=int8,
+    )
+    config = get_layout_dit_config()
+    n_classes = config.detection_model_config.num_classes
+    names = _label_names(n_classes, dataset)
+    info = {
+        "image_sizes": list(engine.image_sizes),
+        "batch_size": batch_size,
+        "max_batch": max_batch or batch_size,
+        "num_classes": n_classes,
+        "label_names": names,
+    }
+    batcher = DynamicBatcher(engine, max_batch=max_batch, flush_ms=flush_ms)
+    batcher.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(batcher, names, info))
+    return httpd, batcher
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Layout detection HTTP server")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--sizes", type=int, nargs="+", default=[224])
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--max-batch", type=int, default=None,
+                        help="dynamic-batch cap (default: --batch-size)")
+    parser.add_argument("--flush-ms", type=float, default=5.0,
+                        help="max wait for a batch to fill")
+    parser.add_argument("--score-thresh", type=float, default=0.05)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--dataset", default=None,
+                        choices=["publaynet", "doclaynet", "docbank"])
+    args = parser.parse_args(argv)
+
+    os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+    from layoutdit_tpu.config import get_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+
+    config = get_layout_dit_config()
+    model = build_model(config)
+    model.restore_checkpoint(args.checkpoint)
+
+    httpd, batcher = make_server(
+        model, args.host, args.port, image_sizes=args.sizes,
+        batch_size=args.batch_size, score_thresh=args.score_thresh,
+        flush_ms=args.flush_ms, max_batch=args.max_batch, int8=args.int8,
+        dataset=args.dataset,
+    )
+    logger.info("Serving on http://%s:%d (buckets %s)",
+                args.host, httpd.server_address[1], args.sizes)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""HTTP inference server (tools/serve.py): dynamic batching over the
+serving engine. New deployment surface — the reference has no online
+serving at all (its evaluator.py is offline-only)."""
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.models.model import build_model
+from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+from layoutdit_tpu.tools.serve import DynamicBatcher, make_server
+
+
+class _EchoEngine:
+    """Engine stub recording batch sizes; returns one token per page."""
+
+    batch_size = 4
+
+    def __init__(self):
+        self.batches = []
+        self.lock = threading.Lock()
+
+    def predict_pages(self, pages):
+        with self.lock:
+            self.batches.append(len(pages))
+        return [f"det:{p.decode()}" for p in pages]
+
+
+def test_dynamic_batcher_coalesces_concurrent_requests():
+    eng = _EchoEngine()
+    b = DynamicBatcher(eng, flush_ms=50.0)
+    b.start()
+    try:
+        results = [None] * 6
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, b.submit(f"p{i}".encode())
+                )
+            )
+            for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert results == [f"det:p{i}" for i in range(6)]
+        # 6 requests within one 50 ms flush window, max_batch=4 ->
+        # strictly fewer device calls than requests (batching happened)
+        assert sum(eng.batches) == 6
+        assert len(eng.batches) < 6
+        assert max(eng.batches) <= 4
+    finally:
+        b.stop()
+
+
+def test_dynamic_batcher_error_propagates_to_every_waiter():
+    class Boom(_EchoEngine):
+        def predict_pages(self, pages):
+            raise RuntimeError("device gone")
+
+    b = DynamicBatcher(Boom(), flush_ms=1.0)
+    b.start()
+    try:
+        with pytest.raises(RuntimeError, match="device gone"):
+            b.submit(b"x")
+    finally:
+        b.stop()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve"))
+    make_fixture(root, n_images=4, split="samples", seed=3)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    model = build_model(cfg)
+    httpd, batcher = make_server(
+        model, "127.0.0.1", 0, image_sizes=(64,), batch_size=4,
+        score_thresh=0.0, flush_ms=10.0,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    pages = [
+        open(os.path.join(root, "samples", f), "rb").read()
+        for f in sorted(os.listdir(os.path.join(root, "samples")))
+        if f.endswith(".jpg")
+    ]
+    try:
+        yield url, pages
+    finally:
+        httpd.shutdown()
+        batcher.stop()
+        set_layout_dit_config(None)
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(
+        url + "/predict", data=body,
+        headers={"Content-Type": "image/jpeg"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_and_info(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+    with urllib.request.urlopen(url + "/info", timeout=60) as r:
+        info = json.loads(r.read())
+    assert info["image_sizes"] == [64]
+    assert info["num_classes"] == 5
+    assert info["label_names"]["1"] == "text"  # JSON keys are strings
+
+
+def test_predict_single_page(server):
+    url, pages = server
+    rec = _post(url, pages[0])
+    assert len(rec["boxes"]) == len(rec["scores"]) == len(rec["labels"])
+    assert rec["boxes"] and len(rec["boxes"][0]) == 4
+    assert rec["label_names"][0] in {"text", "title", "list", "table", "figure"}
+
+
+def test_predict_concurrent_pages_batch(server):
+    url, pages = server
+    results = [None] * 4
+    errs = []
+
+    def go(i):
+        try:
+            results[i] = _post(url, pages[i % len(pages)])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs
+    assert all(r is not None and r["boxes"] for r in results)
+
+
+def test_corrupt_page_is_422_and_bad_route_404(server):
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/predict", data=b"not a jpeg", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=300)
+    assert exc.value.code == 422
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(url + "/nope", timeout=60)
+    assert exc.value.code == 404
