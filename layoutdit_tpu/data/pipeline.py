@@ -125,6 +125,7 @@ class DetectionLoader:
         self.augment_hflip = augment_hflip
         self.prefetch_depth = prefetch_depth
         self._epoch = 0
+        self._start_batch = 0
         if use_native is None:
             from layoutdit_tpu import native
 
@@ -159,6 +160,19 @@ class DetectionLoader:
         if pool is not None:
             pool.shutdown(wait=False)
             self._decode_pool = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle/augmentation epoch (torch DistributedSampler
+        API shape). The trainer calls this with the GLOBAL epoch so data
+        order is a function of (seed, epoch) alone — a resumed process
+        replays the same per-epoch order instead of restarting the
+        loader's private iteration counter at 0."""
+        self._epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """One-shot: the next epoch iteration starts ``n`` index-batches
+        into the epoch order (mid-epoch resume; consumed then reset)."""
+        self._start_batch = int(n)
 
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
@@ -258,11 +272,13 @@ class DetectionLoader:
 
     def _batches_of_indices(self) -> Iterator[np.ndarray]:
         order = self._epoch_order()
+        start = getattr(self, "_start_batch", 0)
+        self._start_batch = 0  # one-shot (mid-epoch resume)
         n_full = len(order) // self.batch_size
-        for i in range(n_full):
+        for i in range(start, n_full):
             yield order[i * self.batch_size:(i + 1) * self.batch_size]
         rem = len(order) % self.batch_size
-        if rem and not self.drop_last:
+        if rem and not self.drop_last and start <= n_full:
             yield order[n_full * self.batch_size:]
 
     def __iter__(self) -> Iterator[DetectionBatch]:

@@ -152,6 +152,8 @@ class Trainer:
         # structured metrics store")
         self.metrics_history: list[dict] = []
         self._total_updates = 0
+        self._start_step = 0    # mid-epoch resume offset (set by resume())
+        self._partial_steps = 0  # steps done when a preemption cut an epoch
         # mid-training eval (TrainingConfig.eval_interval)
         self.best_map = float("-inf")
         self.best_checkpoint_path: str | None = None
@@ -371,7 +373,17 @@ class Trainer:
         t0 = time.time()
         losses = []  # device scalars; fetched once at epoch end (a per-step
         # float() sync costs a full host round trip on remote backends)
-        n_steps = 0
+        # mid-epoch resume: skip the steps the preempted process already
+        # ran (one-shot). The loader is pinned to the GLOBAL epoch so the
+        # shuffle order matches what the preempted process saw.
+        skip = self._start_step
+        self._start_step = 0
+        self._partial_steps = 0
+        self.dataloader.set_epoch(epoch)
+        if skip:
+            self.dataloader.skip_batches(skip)
+        n_steps = skip  # position within the epoch's step sequence
+        n_new = 0  # steps actually run by THIS process
         n_images = 0
         key = jax.random.PRNGKey(train_cfg.seed + 1000 + epoch)
         for batch in self.dataloader:
@@ -380,16 +392,26 @@ class Trainer:
             # still arrive plain)
             stacked = batch.images.ndim == 5
             s = batch.images.shape[0] if stacked else 1
-            n_steps += s
             n_images += (
                 batch.images.shape[0] * batch.images.shape[1] if stacked
                 else batch.images.shape[0]
             )
-            key, sub = jax.random.split(key)
+            # key the dispatch on its POSITION in the epoch, not on how
+            # many dispatches this process ran: a mid-epoch resume then
+            # reproduces the exact rng stream of an uninterrupted run
+            sub = jax.random.fold_in(key, n_steps)
+            n_steps += s
+            n_new += s
             losses.append(self._dispatch(batch, stacked, sub, n_steps))
             if self._guard is not None and self._guard.preempted:
-                break  # partial epoch; the preempt save records self.epoch
-                # completed epochs, so resume redoes this one from its start
+                # partial epoch: record how far we got so resume can
+                # continue from the NEXT step instead of redoing the epoch
+                self._partial_steps = n_steps
+                break
+        if n_new == 0:
+            # resume landed exactly at the epoch boundary: nothing to run
+            logger.info("Epoch %d already complete at resume point", epoch + 1)
+            return self.loss_history[-1] if self.loss_history else 0.0
         avg = float(jnp.concatenate([jnp.atleast_1d(l) for l in losses]).mean()) \
             if losses else 0.0
         dt = time.time() - t0
@@ -397,7 +419,7 @@ class Trainer:
         self.epoch_images_per_sec.append(n_images / max(dt, 1e-9))
         # one optimizer update per step (grad accumulation happens inside
         # the step); lr evaluated at the post-epoch update count
-        self._total_updates += n_steps
+        self._total_updates += n_new
         self.metrics_history.append({
             "epoch": epoch + 1,
             "loss": avg,
@@ -510,7 +532,14 @@ class Trainer:
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
                             self.epoch, opt_state=self._ckpt_opt_state(),
-                            extra={"loss_history": self.loss_history},
+                            extra={
+                                "loss_history": self.loss_history,
+                                # step-granular resume point: resume()
+                                # continues the cut epoch from here rather
+                                # than redoing it (epochs at PubLayNet
+                                # scale are hours long)
+                                "step_in_epoch": self._partial_steps,
+                            },
                             tag="preempt",
                         )
                         logger.warning(
@@ -572,7 +601,17 @@ class Trainer:
             self.opt_state = state["opt_state"]
         self.epoch = state["epoch"]
         self.loss_history = state["extra"].get("loss_history", [])
-        logger.info("Resumed from %s at epoch %d", checkpoint_path, self.epoch)
+        # mid-epoch resume point (preempt checkpoints; 0 = epoch boundary)
+        self._start_step = int(state["extra"].get("step_in_epoch", 0) or 0)
+        # logged-LR bookkeeping (the optimizer's own schedule count lives
+        # in opt_state and is restored with it; this only feeds metrics)
+        self._total_updates = (
+            self.epoch * len(self.dataloader) + self._start_step
+        )
+        logger.info(
+            "Resumed from %s at epoch %d%s", checkpoint_path, self.epoch,
+            f" step {self._start_step}" if self._start_step else "",
+        )
 
     # ---------------------------------------------------------- artifacts
 

@@ -1,0 +1,132 @@
+"""Mid-epoch preemption resume: the preempt checkpoint records the step
+the epoch was cut at, and resume continues from the NEXT step — same
+data order (loader pinned to the global epoch), same rng stream (dispatch
+keys are position-keyed with fold_in, not split-chained) — instead of
+redoing the epoch. The reference restarts from scratch on preemption
+(no resume at all, SURVEY.md §5)."""
+
+import json
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+
+
+class _IndexDataset:
+    """Dataset stub: only len() matters for index-order tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+def _loader(n=10, bs=3, seed=7):
+    from layoutdit_tpu.data.pipeline import DetectionLoader
+
+    return DetectionLoader(
+        _IndexDataset(n), batch_size=bs, shuffle=True, seed=seed,
+        device_put=False, use_native=False,
+    )
+
+
+def test_set_epoch_pins_shuffle_order():
+    a, b = _loader(), _loader()
+    a.set_epoch(4)
+    b.set_epoch(4)
+    oa = [x.tolist() for x in a._batches_of_indices()]
+    ob = [x.tolist() for x in b._batches_of_indices()]
+    assert oa == ob
+    b.set_epoch(5)
+    assert oa != [x.tolist() for x in b._batches_of_indices()]
+
+
+def test_skip_batches_yields_tail_of_same_order():
+    full, tail = _loader(), _loader()
+    full.set_epoch(2)
+    tail.set_epoch(2)
+    all_batches = [x.tolist() for x in full._batches_of_indices()]
+    tail.skip_batches(2)
+    assert [x.tolist() for x in tail._batches_of_indices()] == all_batches[2:]
+    # one-shot: the next epoch starts from the beginning again
+    tail.set_epoch(2)
+    assert [x.tolist() for x in tail._batches_of_indices()] == all_batches
+
+
+def test_skip_past_remainder_yields_nothing():
+    ld = _loader(n=10, bs=3)  # 3 full batches + remainder of 1 -> 4 total
+    ld.set_epoch(0)
+    ld.skip_batches(4)
+    assert list(ld._batches_of_indices()) == []
+    ld.skip_batches(3)
+    ld.set_epoch(0)
+    assert len(list(ld._batches_of_indices())) == 1  # just the remainder
+
+
+@pytest.mark.slow
+def test_midepoch_resume_matches_uninterrupted_run(tmp_path):
+    """SIGTERM after step 3 of 6 (mid epoch 2): resume runs steps 4..6
+    only, and the final params are IDENTICAL to an uninterrupted run —
+    same batches, same rng keys, same update sequence."""
+    import jax
+
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=5)
+    write_fixture_config(root, epochs=3, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 100
+    cfg.train_config.steps_per_dispatch = 1  # 2 plain steps/epoch
+    set_layout_dit_config(cfg)
+    try:
+        # ---- run A: uninterrupted
+        model_a = build_model(cfg)
+        Trainer(cfg, model_a).train()
+
+        # ---- run B: preempted after dispatch 3 (epoch 2, step 1)
+        model_b = build_model(cfg)
+        trainer_b = Trainer(cfg, model_b)
+        real_dispatch = trainer_b._dispatch
+        calls = {"n": 0}
+
+        def dispatch_then_sigterm(*a, **kw):
+            out = real_dispatch(*a, **kw)
+            calls["n"] += 1
+            if calls["n"] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        trainer_b._dispatch = dispatch_then_sigterm
+        trainer_b.train()
+        assert trainer_b.epoch == 1 and trainer_b._partial_steps == 1
+
+        import glob
+
+        ckpt = glob.glob(os.path.join(
+            root, "fixture", "model_checkpoints", "*_preempt.msgpack"
+        ))[0]
+
+        # ---- run B': fresh process resumes mid-epoch
+        model_b2 = build_model(cfg)
+        trainer_b2 = Trainer(cfg, model_b2)
+        trainer_b2.resume(ckpt)
+        assert trainer_b2.epoch == 1 and trainer_b2._start_step == 1
+        assert trainer_b2._total_updates == 3  # 2 (epoch 1) + 1 (partial)
+        trainer_b2.train()
+        assert trainer_b2.epoch == 3
+
+        # params bitwise-equal: resume replayed the exact remaining steps
+        flat_a = jax.tree_util.tree_leaves(model_a.params)
+        flat_b = jax.tree_util.tree_leaves(model_b2.params)
+        assert len(flat_a) == len(flat_b)
+        for la, lb in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    finally:
+        set_layout_dit_config(None)
