@@ -141,6 +141,11 @@ class TrainingConfig(BaseModel):
     # Where jax.profiler traces are staged locally before GCS upload.
     trace_log_dir: str = "./log/traces"
 
+    # Write per-epoch scalars (loss, img/s, lr, mid-eval mAP) as
+    # TensorBoard event files to {run}/tb — stdlib encoder, works on
+    # gs:// (utils/tensorboard.py). The reference has no TB integration.
+    tensorboard: bool = True
+
     seed: int = 0
     # Gradient clipping (0 disables); reference has none.
     grad_clip_norm: float = 0.0

@@ -518,6 +518,14 @@ class Trainer:
             from layoutdit_tpu.train.checkpoint import AsyncCheckpointWriter
 
             writer = AsyncCheckpointWriter()
+        tb = None
+        if train_cfg.tensorboard:
+            from layoutdit_tpu.utils.tensorboard import TensorBoardWriter
+
+            tb = TensorBoardWriter(
+                f"{self._artifact_base()}/{self.config.run_name}/tb",
+                fs_open=self.fs_open,
+            )
         try:
             with _PreemptionGuard() as guard:
                 self._guard = guard
@@ -552,6 +560,15 @@ class Trainer:
                         and (epoch + 1) % train_cfg.eval_interval == 0
                     ):
                         self._mid_eval(epoch)
+                    if tb is not None and self.metrics_history and \
+                            self.metrics_history[-1].get("epoch") == epoch + 1:
+                        rec = self.metrics_history[-1]
+                        tb.scalars(
+                            {f"train/{k}": v for k, v in rec.items()
+                             if k != "epoch"},
+                            step=epoch + 1,
+                        )
+                        tb.flush()  # event file live-updates per epoch
                     # per-EPOCH checkpoint cadence (the non-buggy variant)
                     if (epoch + 1) % train_cfg.checkpoint_interval == 0:
                         path = self.model.save_checkpoint(
@@ -569,6 +586,8 @@ class Trainer:
             self._guard = None
             if writer is not None:
                 writer.close()  # barrier: checkpoints durable at return
+            if tb is not None:
+                tb.close()
             if profiling:
                 jax.profiler.stop_trace()
         self._save_loss()
