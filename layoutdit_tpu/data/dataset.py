@@ -37,26 +37,78 @@ class PubLayNetDataset:
         self.fs_open: Callable = fsspec.open
 
         @retry_io
-        def _read_annotations():
+        def _read_annotations_bytes():
             # transient GCS 5xx on the one up-front JSON read aborts the
             # whole run without this (image reads were already retried)
-            with self.fs_open(annotations_json_path, "r") as f:
-                return json.load(f)
+            with self.fs_open(annotations_json_path, "rb") as f:
+                return f.read()
 
-        coco_data = _read_annotations()
-
-        # kept for the Evaluator (reference :25)
-        self.coco_data = coco_data
+        raw = _read_annotations_bytes()
         self.images_root_dir = images_root_dir
 
-        self.image_info = {img["id"]: img for img in coco_data["images"]}
-        self.annotations: dict[int, list] = {}
-        for ann in coco_data["annotations"]:
-            self.annotations.setdefault(ann["image_id"], []).append(ann)
+        # Native fast path (native/coco_parse.cc): GB-scale annotation
+        # files parse ~10x faster than json.loads into packed arrays,
+        # and segmentation polygons (most of the bytes, never read by
+        # the detection pipeline) are skipped instead of materialized —
+        # the dict-shaped views below are built lazily, only if asked
+        # for (the evaluator's split is small; the train path runs on
+        # the arrays directly).
+        from layoutdit_tpu.native import cocojson
+
+        arr = cocojson.parse_coco_bytes(raw) if cocojson.available() else None
+        self._arr = arr
+        self._coco_data = None
+        self._annotations = None
+        if arr is not None:
+            del raw
+            self.image_info = {
+                int(i): {"id": int(i), "width": int(w), "height": int(h),
+                         "file_name": f}
+                for i, w, h, f in zip(
+                    arr.img_id, arr.img_w, arr.img_h, arr.file_names
+                )
+            }
+            self.cat_id_to_label = {
+                cat["id"]: i
+                for i, cat in enumerate(arr.categories, start=1)
+            }
+            # stable sort keeps file order within an image (matches the
+            # fallback's setdefault-append grouping exactly)
+            order = np.argsort(arr.ann_img, kind="stable")
+            self._ann_order = order
+            self._ann_img_sorted = arr.ann_img[order]
+        else:
+            coco_data = json.loads(raw)
+            del raw
+            self._coco_data = coco_data
+            self.image_info = {img["id"]: img for img in coco_data["images"]}
+            self._annotations = {}
+            for ann in coco_data["annotations"]:
+                self._annotations.setdefault(ann["image_id"], []).append(ann)
+            self.cat_id_to_label = {
+                cat["id"]: i
+                for i, cat in enumerate(coco_data["categories"], start=1)
+            }
         self.ids = list(self.image_info.keys())
-        self.cat_id_to_label = {
-            cat["id"]: i for i, cat in enumerate(coco_data["categories"], start=1)
-        }
+
+    # kept for the Evaluator (reference :25); lazily materialized from
+    # the packed arrays on the native path
+    @property
+    def coco_data(self) -> dict:
+        if self._coco_data is None:
+            self._coco_data = self._arr.to_coco_data()
+        return self._coco_data
+
+    @property
+    def annotations(self) -> dict:
+        """image_id -> [ann dicts] (reference :30-34); lazy on the
+        native path — ``load_target`` uses the arrays directly."""
+        if self._annotations is None:
+            anns: dict[int, list] = {}
+            for ann in self.coco_data["annotations"]:
+                anns.setdefault(ann["image_id"], []).append(ann)
+            self._annotations = anns
+        return self._annotations
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -84,14 +136,28 @@ class PubLayNetDataset:
 
     def load_target(self, img_id) -> dict:
         """Boxes/labels for one image (degenerate boxes dropped)."""
-        anns = self.annotations.get(img_id, [])
-        boxes, labels = [], []
-        for ann in anns:
-            x, y, w, h = ann["bbox"]
-            boxes.append([x, y, x + w, y + h])
-            labels.append(self.cat_id_to_label.get(ann["category_id"], 0))
-        boxes_np = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
-        labels_np = np.asarray(labels, dtype=np.int64)
+        if self._arr is not None:
+            lo = np.searchsorted(self._ann_img_sorted, img_id, "left")
+            hi = np.searchsorted(self._ann_img_sorted, img_id, "right")
+            sel = self._ann_order[lo:hi]
+            xywh = self._arr.ann_bbox[sel]
+            boxes_np = np.concatenate(
+                [xywh[:, :2], xywh[:, :2] + xywh[:, 2:]], axis=1
+            ).astype(np.float32).reshape(-1, 4)
+            labels_np = np.asarray(
+                [self.cat_id_to_label.get(int(c), 0)
+                 for c in self._arr.ann_cat[sel]],
+                dtype=np.int64,
+            )
+        else:
+            anns = self.annotations.get(img_id, [])
+            boxes, labels = [], []
+            for ann in anns:
+                x, y, w, h = ann["bbox"]
+                boxes.append([x, y, x + w, y + h])
+                labels.append(self.cat_id_to_label.get(ann["category_id"], 0))
+            boxes_np = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
+            labels_np = np.asarray(labels, dtype=np.int64)
         keep = (boxes_np[:, 2] > boxes_np[:, 0]) & (boxes_np[:, 3] > boxes_np[:, 1])
         return {
             "boxes": boxes_np[keep],
