@@ -136,6 +136,10 @@ class TrainingConfig(BaseModel):
     # before returning, and the preemption save is always synchronous.
     # Applies to the msgpack path; sharded orbax saves stay synchronous.
     async_checkpoint: bool = True
+    # Retention: keep only the newest N periodic epoch checkpoints
+    # (0 = keep all, reference behavior — ~1 GB per save at dit-base).
+    # best.* and *_preempt saves are never pruned.
+    keep_checkpoints: int = 0
 
     enable_profile: bool = False
     # Where jax.profiler traces are staged locally before GCS upload.

@@ -243,3 +243,45 @@ def load_checkpoint_sharded(
         "epoch": int(meta["epoch"]),
         "extra": meta["extra"],
     }
+
+
+def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
+    """Retention policy: keep the newest ``keep`` periodic checkpoints
+    (``epoch_<n>.msgpack`` / ``epoch_<n>.orbax``) under ``root``, delete
+    the rest. Tagged saves (``*_preempt``) and rolling ``best.*`` never
+    match the pattern and are never touched. ``current_epoch`` counts as
+    existing even if its (async) write is still in flight; a slower
+    in-flight write of an older epoch can resurface a pruned file until
+    the next cadence prunes it again. Returns the deleted paths.
+
+    The reference keeps every checkpoint forever (model.py:90-121) —
+    at PubLayNet scale that is ~1 GB per save.
+    """
+    import re
+
+    import fsspec
+
+    if keep <= 0:
+        return []
+    fs, rootp = fsspec.core.url_to_fs(root)
+    try:
+        names = fs.ls(rootp, detail=False)
+    except FileNotFoundError:
+        return []
+    pat = re.compile(r"epoch_(\d+)\.(msgpack|orbax)$")
+    found = [(int(m.group(1)), n) for n in names
+             for m in [pat.search(n)] if m]
+    keep_set = set(sorted(
+        {e for e, _ in found} | {current_epoch}, reverse=True
+    )[:keep])
+    deleted = []
+    for e, n in found:
+        if e in keep_set:
+            continue
+        fs.rm(n, recursive=True)  # .orbax checkpoints are directories
+        meta = n + ".meta.json"   # orbax sidecar
+        if fs.exists(meta):
+            fs.rm(meta)
+        deleted.append(n)
+        logger.info("Pruned checkpoint %s (keep_checkpoints=%d)", n, keep)
+    return deleted

@@ -581,6 +581,16 @@ class Trainer:
                             "Saved checkpoint to %s%s", path,
                             " (async)" if writer is not None else "",
                         )
+                        if train_cfg.keep_checkpoints > 0:
+                            from layoutdit_tpu.train.checkpoint import (
+                                prune_checkpoints,
+                            )
+
+                            prune_checkpoints(
+                                f"{self._artifact_base()}"
+                                f"/{self.config.run_name}/model_checkpoints",
+                                train_cfg.keep_checkpoints, epoch + 1,
+                            )
                     self.epoch = epoch + 1
         finally:
             self._guard = None
