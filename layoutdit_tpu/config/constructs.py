@@ -68,6 +68,12 @@ class DataLoaderConfig(BaseModel):
     # deterministically from (seed, epoch, example index), so runs
     # reproduce regardless of worker count. Eval is never augmented.
     augment_hflip: float = 0.0
+    # When set, TRAIN image reads come from tar shards built by
+    # tools/make_shards.py (ranged reads into large sequential objects
+    # instead of one GCS object per page — data/shards.py). Annotations
+    # still come from the configured JSON; eval reads stay per-file
+    # (the eval split is small).
+    image_shards_dir: Optional[str] = None
 
 
 class MeshConfig(BaseModel):

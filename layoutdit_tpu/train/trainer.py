@@ -195,9 +195,14 @@ class Trainer:
     def _build_dataloader(self):
         dl_cfg = self.config.data_loader_config
         images_root, ann_json = resolve_split(self.config, train=True)
-        dataset = PubLayNetDataset(
-            images_root_dir=images_root, annotations_json_path=ann_json
-        )
+        if dl_cfg.image_shards_dir:
+            from layoutdit_tpu.data.shards import make_sharded_dataset
+
+            dataset = make_sharded_dataset(dl_cfg.image_shards_dir, ann_json)
+        else:
+            dataset = PubLayNetDataset(
+                images_root_dir=images_root, annotations_json_path=ann_json
+            )
         self.dataloader = DetectionLoader(
             dataset,
             batch_size=dl_cfg.batch_size,

@@ -106,3 +106,27 @@ def test_sharded_train_epoch(tmp_path):
         assert b.gt_valid.any()
     finally:
         set_layout_dit_config(None)
+
+
+def test_trainer_uses_shards_from_config(tmp_path):
+    """image_shards_dir routes the CLI train path through the shard
+    reader end to end (1 epoch, loss finite)."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root, images, ann = _fixture(tmp_path, n=4)
+    out = os.path.join(root, "shards")
+    make_shards_main(["--images", images, "--annotations", ann,
+                      "--out", out])
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.data_loader_config.image_shards_dir = out
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        assert hasattr(trainer.dataloader.dataset, "shard_index")
+        trainer.train()
+        assert np.isfinite(trainer.loss_history[0])
+    finally:
+        set_layout_dit_config(None)
