@@ -215,6 +215,7 @@ def _attention(
     cfg: ViTConfig,
     rel_bias: jnp.ndarray | None,
     impl: str = "xla",
+    seq_sharding=None,
 ) -> jnp.ndarray:
     b, n, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.head_dim
@@ -278,7 +279,24 @@ def _attention(
             # explicit impl="pallas" still works via interpret mode.
             impl = "xla"
 
-    if impl == "pallas":
+    if impl == "ring":
+        # sequence-sharded exact attention: K/V rotate over the mesh's
+        # token axis, everything stays N/P-resident (ops/ring_attention)
+        if rel_bias is not None:
+            raise ValueError(
+                "ring attention supports absolute-pos models only "
+                "(dit); rel-pos-bias checkpoints use the xla/flash paths"
+            )
+        if seq_sharding is None:
+            raise ValueError(
+                "attention_impl='ring' needs vit_forward(seq_sharding=...)"
+            )
+        from layoutdit_tpu.ops.ring_attention import ring_attention_sharded
+
+        ctx = ring_attention_sharded(
+            q, k, v, seq_sharding, scale=1.0 / np.sqrt(hd)
+        )
+    elif impl == "pallas":
         from layoutdit_tpu.ops.flash_attention import flash_attention
 
         ctx = flash_attention(q, k, v, bias=rel_bias, scale=1.0 / np.sqrt(hd))
@@ -363,6 +381,7 @@ def encoder_block_aux(
     cfg: ViTConfig,
     bias,
     attention_impl: str,
+    seq_sharding=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pre-LN transformer block (attention + MLP, optional BEiT
     layerscale). The MLP is the dense GELU pair or, when the layer params
@@ -372,7 +391,7 @@ def encoder_block_aux(
     0 for dense layers)."""
     attn = _attention(
         _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
-        layer, cfg, bias, attention_impl,
+        layer, cfg, bias, attention_impl, seq_sharding,
     )
     if "lambda_1" in layer:
         attn = attn * layer["lambda_1"].astype(attn.dtype)
@@ -457,7 +476,11 @@ def vit_forward(
             "stage body stacks homogeneous dense layers); shard experts "
             "over the 'model' axis instead (expert parallelism)"
         )
-    if seq_sharding is not None or pipeline is not None:
+    if pipeline is not None:
+        attention_impl = "xla"
+    elif seq_sharding is not None and attention_impl != "ring":
+        # GSPMD derives the Megatron-SP schedule around XLA attention;
+        # "ring" instead keeps K/V sequence-sharded (ops/ring_attention)
         attention_impl = "xla"
     taps = tuple(taps) or (cfg.num_hidden_layers,)
     _, _, img_h, img_w = pixels.shape
@@ -510,7 +533,9 @@ def vit_forward(
 
     def run_layer(x, layer):
         bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
-        y, aux = encoder_block_aux(x, layer, cfg, bias, attention_impl)
+        y, aux = encoder_block_aux(
+            x, layer, cfg, bias, attention_impl, seq_sharding
+        )
         return seq_constrain(y), aux
 
     if pipeline is not None:
