@@ -460,8 +460,10 @@ def vit_forward(
     TP parameter shardings (all-gather tokens into the column-parallel
     matmuls, reduce-scatter back to token shards after the row-parallel
     ones). Numerics are unchanged — this only pins activation layouts.
-    Forces the XLA attention path (a pallas_call would gather its
-    operands and forfeit the sharding anyway).
+    Attention under SP: the XLA path by default (the partitioner
+    all-gathers K/V around it; a pallas_call would forfeit the sharding),
+    or ``attention_impl="ring"`` to keep K/V sequence-sharded end to end
+    (ops/ring_attention.py — ppermute rotation, O(N/P) per device).
 
     pipeline: optional ``parallel.pipeline.PipelineConfig`` — run the
     layer stack as a GPipe pipeline over the mesh's ``pipe`` axis instead
