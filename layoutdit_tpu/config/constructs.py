@@ -287,7 +287,9 @@ class ModelConfig(BaseModel):
 
     # Attention implementation: "auto" (measured per-shape crossover:
     # XLA einsum at base res, Pallas flash kernel from ~1k tokens),
-    # or force "xla" / "pallas".
+    # force "xla" / "pallas", or "ring" (exact sequence-sharded context
+    # parallelism over the SP token axis — requires
+    # mesh_config.sequence_parallel; ops/ring_attention.py).
     attention_impl: str = "auto"
     # RoI pooler: "xla" or "pallas" (fused VMEM kernel).
     roi_impl: str = "xla"
