@@ -42,7 +42,18 @@ logger = get_logger(__name__)
 
 
 class Evaluator:
-    def __init__(self, model: LayoutDetectionModel, layout_dit_config: LayoutDitConfig):
+    def __init__(
+        self,
+        model: LayoutDetectionModel,
+        layout_dit_config: LayoutDitConfig,
+        mesh=None,
+    ):
+        """mesh: optional jax.sharding.Mesh — eval batches shard over its
+        'data' axis (data-parallel inference, used by the trainer's
+        mid-training eval on multi-chip runs; the reference evaluates on
+        one device only, evaluator.py:219-286). Requires the loader
+        batch size to divide over the axis; detections gather host-side
+        exactly as in the single-device path."""
         import fsspec
 
         self.fs_open: Callable = fsspec.open
@@ -68,10 +79,24 @@ class Evaluator:
         self.visualization_gt_path = f"{base}/{run}/{prefix}_gt/"
 
         cfg = model.cfg
+        shardings = {}
+        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            from layoutdit_tpu.parallel.mesh import batch_sharding
+
+            data = batch_sharding(mesh)
+            if self.dataloader.batch_size % mesh.shape[mesh.axis_names[0]]:
+                logger.warning(
+                    "eval batch %d does not divide mesh data axis %s; "
+                    "falling back to single-device eval",
+                    self.dataloader.batch_size, dict(mesh.shape),
+                )
+            else:
+                shardings = {"in_shardings": (None, data, data)}
         self._predict = jax.jit(
             lambda p, imgs, sizes: rescale_detections(
                 detector_predict(p, imgs, cfg), sizes, cfg.image_size
-            )
+            ),
+            **shardings,
         )
         logger.debug("Successfully initialized evaluator")
 

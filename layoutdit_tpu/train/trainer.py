@@ -475,7 +475,8 @@ class Trainer:
 
         if self._evaluator is None:
             self._evaluator = Evaluator(
-                model=self.model, layout_dit_config=self.config
+                model=self.model, layout_dit_config=self.config,
+                mesh=self.mesh,  # data-parallel eval on multi-chip runs
             )
         saved = None
         if self.ema_params is not None:

@@ -278,3 +278,48 @@ def test_build_mesh_for_batch_idles_devices_loudly():
         mesh_mod.logger.removeHandler(h)
     assert mesh.shape["data"] == 4  # largest divisor of 16 that is <= 7
     assert any("clamped" in m for m in records)
+
+
+def test_evaluator_dp_mesh_matches_single_device(tmp_path):
+    """Evaluator(mesh=...) shards eval batches over 'data' and returns
+    the same metrics as single-device eval (the reference evaluates on
+    one device only)."""
+    import json as _json
+    import os as _os
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.eval.evaluator import Evaluator
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=12)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(
+        **_json.load(open(_os.path.join(root, "cfg.json")))
+    )
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ref = Evaluator(model=model, layout_dit_config=cfg).score()
+        mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=1))
+        got = Evaluator(
+            model=model, layout_dit_config=cfg, mesh=mesh
+        ).score()
+        assert ref is not None and got is not None
+        assert set(got) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-6, atol=1e-8)
+
+        # batch that does not divide the axis -> loud single-device fallback
+        mesh3 = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+        cfg.data_loader_config.batch_size = 3
+        got2 = Evaluator(
+            model=model, layout_dit_config=cfg, mesh=mesh3
+        ).score()
+        assert got2 is not None
+    finally:
+        set_layout_dit_config(None)
