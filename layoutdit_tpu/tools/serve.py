@@ -62,8 +62,9 @@ class DynamicBatcher:
     """
 
     def __init__(self, engine, max_batch: int | None = None,
-                 flush_ms: float = 5.0):
+                 flush_ms: float = 5.0, metrics=None):
         self.engine = engine
+        self.metrics = metrics
         self.max_batch = max_batch or engine.batch_size
         self.flush_s = flush_ms / 1000.0
         self._q: queue.Queue[_Waiter | None] = queue.Queue()
@@ -124,6 +125,8 @@ class DynamicBatcher:
                 dets = self.engine.predict_pages([w.page for w in batch])
                 for w, d in zip(batch, dets):
                     w.result = d
+                if self.metrics is not None:
+                    self.metrics.observe_batch(len(batch))
             except Exception as e:  # noqa: BLE001 — fulfil every waiter
                 logger.exception("batch of %d failed", len(batch))
                 for w in batch:
@@ -131,6 +134,75 @@ class DynamicBatcher:
             finally:
                 for w in batch:
                     w.event.set()
+
+
+class ServerMetrics:
+    """Prometheus text-exposition counters/histogram for the server
+    (GET /metrics). Stdlib-only, lock-guarded; scrape-friendly names."""
+
+    BUCKETS = (0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = {}         # (method, code) -> count
+        self.pages = 0
+        self.batches = 0
+        self.batch_pages = 0
+        self.lat_sum = 0.0
+        self.lat_count = 0
+        self.lat_buckets = [0] * (len(self.BUCKETS) + 1)
+
+    def observe_request(self, method: str, code: int, seconds: float) -> None:
+        with self._lock:
+            key = (method, code)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            self.lat_sum += seconds
+            self.lat_count += 1
+            for i, b in enumerate(self.BUCKETS):
+                if seconds <= b:
+                    self.lat_buckets[i] += 1
+                    break
+            else:
+                self.lat_buckets[-1] += 1
+
+    def observe_batch(self, n_pages: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_pages += n_pages
+            self.pages += n_pages
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE layoutdit_requests_total counter",
+            ]
+            for (method, code), n in sorted(self.requests.items()):
+                lines.append(
+                    f'layoutdit_requests_total{{method="{method}",'
+                    f'code="{code}"}} {n}'
+                )
+            lines += [
+                "# TYPE layoutdit_pages_total counter",
+                f"layoutdit_pages_total {self.pages}",
+                "# TYPE layoutdit_batches_total counter",
+                f"layoutdit_batches_total {self.batches}",
+                "# TYPE layoutdit_batch_pages_total counter",
+                f"layoutdit_batch_pages_total {self.batch_pages}",
+                "# TYPE layoutdit_request_seconds histogram",
+            ]
+            acc = 0
+            for b, n in zip(self.BUCKETS, self.lat_buckets):
+                acc += n
+                lines.append(
+                    f'layoutdit_request_seconds_bucket{{le="{b}"}} {acc}'
+                )
+            acc += self.lat_buckets[-1]
+            lines.append(
+                f'layoutdit_request_seconds_bucket{{le="+Inf"}} {acc}'
+            )
+            lines.append(f"layoutdit_request_seconds_sum {self.lat_sum}")
+            lines.append(f"layoutdit_request_seconds_count {self.lat_count}")
+            return "\n".join(lines) + "\n"
 
 
 def detections_to_json(dets, names: dict) -> dict:
@@ -142,7 +214,8 @@ def detections_to_json(dets, names: dict) -> dict:
     }
 
 
-def make_handler(batcher: DynamicBatcher, names: dict, info: dict):
+def make_handler(batcher: DynamicBatcher, names: dict, info: dict,
+                 metrics: ServerMetrics | None = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -159,6 +232,14 @@ def make_handler(batcher: DynamicBatcher, names: dict, info: dict):
                 self._json(200, {"status": "ok"})
             elif self.path == "/info":
                 self._json(200, info)
+            elif self.path == "/metrics" and metrics is not None:
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
@@ -171,17 +252,28 @@ def make_handler(batcher: DynamicBatcher, names: dict, info: dict):
                 self._json(400, {"error": "empty body; POST image bytes"})
                 return
             page = self.rfile.read(length)
+            import time as _time
+
+            t0 = _time.monotonic()
+
+            def done(code, payload):
+                if metrics is not None:
+                    metrics.observe_request(
+                        "POST", code, _time.monotonic() - t0
+                    )
+                self._json(code, payload)
+
             try:
                 dets = batcher.submit(page)
             except Exception as e:  # noqa: BLE001 — surface as 500
-                self._json(500, {"error": str(e)})
+                done(500, {"error": str(e)})
                 return
             payload = detections_to_json(dets, names)
             # corrupt/undecodable page: engine zeroes the slot -> no boxes
             if not payload["boxes"] and not _decodable(page):
-                self._json(422, {"error": "page failed to decode"})
+                done(422, {"error": "page failed to decode"})
                 return
-            self._json(200, payload)
+            done(200, payload)
 
         def log_message(self, fmt, *args):  # route through our logger
             logger.info("%s %s", self.address_string(), fmt % args)
@@ -226,9 +318,15 @@ def make_server(model, host: str, port: int, *, image_sizes=(224,),
         "num_classes": n_classes,
         "label_names": names,
     }
-    batcher = DynamicBatcher(engine, max_batch=max_batch, flush_ms=flush_ms)
+    metrics = ServerMetrics()
+    batcher = DynamicBatcher(
+        engine, max_batch=max_batch, flush_ms=flush_ms, metrics=metrics
+    )
     batcher.start()
-    httpd = ThreadingHTTPServer((host, port), make_handler(batcher, names, info))
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(batcher, names, info, metrics)
+    )
+    httpd.metrics = metrics  # for callers/tests
     return httpd, batcher
 
 
@@ -263,6 +361,24 @@ def main(argv=None) -> None:
         flush_ms=args.flush_ms, max_batch=args.max_batch, int8=args.int8,
         dataset=args.dataset,
     )
+    # graceful preemption: SIGTERM (TPU-VM/GKE preemption signal) stops
+    # accepting, lets in-flight requests finish, drains the batcher —
+    # the serving counterpart of the trainer's preemption checkpoint.
+    # shutdown() must run off the serve_forever thread. Installed BEFORE
+    # the "Serving on" announcement: orchestrators treat that line as
+    # readiness and may preempt any time after it.
+    import signal
+
+    def _term(signum, frame):
+        logger.warning("SIGTERM: draining and shutting down")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        # signal handlers are main-thread-only; embedded callers (tests,
+        # notebooks) drive httpd.shutdown() themselves
+        logger.warning("not in main thread; SIGTERM handler not installed")
     logger.info("Serving on http://%s:%d (buckets %s)",
                 args.host, httpd.server_address[1], args.sizes)
     try:
@@ -272,6 +388,7 @@ def main(argv=None) -> None:
     finally:
         httpd.shutdown()
         batcher.stop()
+        logger.info("Server stopped cleanly")
 
 
 if __name__ == "__main__":

@@ -161,3 +161,79 @@ def test_corrupt_page_is_422_and_bad_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(url + "/nope", timeout=60)
     assert exc.value.code == 404
+
+
+def test_metrics_endpoint(server):
+    url, pages = server
+    _post(url, pages[0])
+    with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'layoutdit_requests_total{method="POST",code="200"}' in text
+    assert "layoutdit_pages_total" in text
+    assert "layoutdit_batches_total" in text
+    assert 'layoutdit_request_seconds_bucket{le="+Inf"}' in text
+    # counters are cumulative and consistent
+    count = int(text.split("layoutdit_request_seconds_count ")[1].split()[0])
+    inf = int(text.split('le="+Inf"} ')[1].split()[0])
+    assert count == inf >= 1
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """The real entrypoint in a real process: SIGTERM drains and exits 0
+    (the serving counterpart of the trainer's preemption handling)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=2, split="samples", seed=4)
+    write_fixture_config(root, epochs=1, batch_size=2, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ckpt = model.save_checkpoint(root, "run", 1)
+    finally:
+        set_layout_dit_config(None)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "jax.config.update('jax_compilation_cache_dir',"
+        f"{os.path.abspath('.jax_cache')!r});"
+        "from layoutdit_tpu.tools.serve import main;"
+        f"main(['--checkpoint', {ckpt!r}, '--port', '0',"
+        "'--sizes', '64', '--batch-size', '2'])"
+    )
+    env = {**os.environ, "LAYOUTDIT_CONFIG": os.path.join(root, "cfg.json"),
+           "LAYOUTDIT_SKIP_REMOTE_CONFIG": "1"}
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    import threading as _th
+
+    lines = []
+    up = _th.Event()
+
+    def pump():
+        for line in proc.stderr:
+            lines.append(line)
+            if "Serving on" in line:
+                up.set()
+
+    reader = _th.Thread(target=pump, daemon=True)
+    reader.start()
+    try:
+        assert up.wait(timeout=180), "".join(lines)[-2000:]
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+        reader.join(timeout=30)
+        err = "".join(lines)
+        assert proc.returncode == 0, err[-2000:]
+        assert "SIGTERM: draining" in err
+        assert "Server stopped cleanly" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
