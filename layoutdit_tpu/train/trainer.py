@@ -575,6 +575,7 @@ class Trainer:
                             step=epoch + 1,
                         )
                         tb.flush()  # event file live-updates per epoch
+                    self._save_metrics(quiet=True)  # durable per epoch
                     # per-EPOCH checkpoint cadence (the non-buggy variant)
                     if (epoch + 1) % train_cfg.checkpoint_interval == 0:
                         path = self.model.save_checkpoint(
@@ -674,10 +675,12 @@ class Trainer:
             fig.savefig(f, format="png", bbox_inches="tight")
         plt.close(fig)
 
-    def _save_metrics(self):
+    def _save_metrics(self, quiet: bool = False):
         """Structured per-epoch metrics (loss, img/s, lr) as JSONL next to
         the loss curve — machine-readable observability the reference
-        lacks (its metrics live only in log lines)."""
+        lacks (its metrics live only in log lines). Rewritten after every
+        epoch (small file, object-store-safe) so a crash or preemption
+        never loses the run's history."""
         import json
 
         if not self.metrics_history:
@@ -689,7 +692,8 @@ class Trainer:
         with self.fs_open(path, "w", auto_mkdir=True) as f:
             for rec in self.metrics_history:
                 f.write(json.dumps(rec) + "\n")
-        logger.info("Saved metrics to %s", path)
+        if not quiet:
+            logger.info("Saved metrics to %s", path)
 
     def _save_traces(self, run_name: str):
         """Upload profiler traces (reference trainer.py:232-257), keeping
