@@ -484,6 +484,12 @@ def vit_forward(
         # GSPMD derives the Megatron-SP schedule around XLA attention;
         # "ring" instead keeps K/V sequence-sharded (ops/ring_attention)
         attention_impl = "xla"
+    elif seq_sharding is None and attention_impl == "ring":
+        # ring is only meaningful WITH a token-sharded stream. Callers
+        # that run the same config without SP — the evaluator's predict,
+        # the serving engine, the predict CLI — must not crash on a
+        # training-oriented config: degrade to the measured auto choice.
+        attention_impl = "auto"
     taps = tuple(taps) or (cfg.num_hidden_layers,)
     _, _, img_h, img_w = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size

@@ -244,7 +244,14 @@ struct Parser {
       fail();
       return false;
     }
-    if (!has_id || !has_name || w < 0 || h < 0) { fail(); return false; }
+    // strictness: non-integral or out-of-range sizes fall back to the
+    // Python parser rather than silently truncating (they feed box
+    // rescaling — a native/fallback divergence would shift metrics)
+    if (!has_id || !has_name || w < 0 || h < 0 ||
+        w != (double)(int32_t)w || h != (double)(int32_t)h) {
+      fail();
+      return false;
+    }
     r->img_id.push_back(id);
     r->img_w.push_back((int32_t)w);
     r->img_h.push_back((int32_t)h);

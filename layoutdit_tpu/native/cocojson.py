@@ -85,7 +85,11 @@ def _load():
 
 
 def available() -> bool:
-    return _load() is not None and os.getenv("LAYOUTDIT_NO_NATIVE_COCO") != "1"
+    # env opt-out FIRST: _load() may run a full g++ build, which is
+    # exactly what a user disabling the native parser wants to avoid
+    if os.getenv("LAYOUTDIT_NO_NATIVE_COCO") == "1":
+        return False
+    return _load() is not None
 
 
 @dataclasses.dataclass

@@ -116,27 +116,36 @@ def run(args) -> list[dict]:
         )
     logger.info("Serving buckets: %s", engine.image_sizes)
 
-    pages = [open(p, "rb").read() for p in paths]
-    detections = engine.predict_pages(pages)
-
     n_classes = config.detection_model_config.num_classes
     names = _label_names(n_classes, args.dataset)
     records = []
-    for path, dets in zip(paths, detections):
-        records.append({
-            "file": path,
-            "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
-            "scores": [round(float(s), 4) for s in dets.scores],
-            "labels": [int(l) for l in dets.labels],
-            "label_names": [
-                names.get(int(l), str(int(l))) for l in dets.labels
-            ],
-        })
-        if args.visualize:
-            out = os.path.join(
-                args.visualize, os.path.basename(path) + ".pred.jpg"
-            )
-            _visualize(path, dets, out, names)
+    # chunked so a PubLayNet-scale corpus never sits in RAM all at once:
+    # only one chunk of raw bytes + detections is live at a time (the
+    # engine pipelines decode/compute within each chunk)
+    chunk_pages = max(args.batch_size * 32, args.batch_size)
+    for start in range(0, len(paths), chunk_pages):
+        chunk = paths[start:start + chunk_pages]
+        pages = [open(p, "rb").read() for p in chunk]
+        detections = engine.predict_pages(pages)
+        del pages
+        for path, dets in zip(chunk, detections):
+            records.append({
+                "file": path,
+                "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
+                "scores": [round(float(s), 4) for s in dets.scores],
+                "labels": [int(l) for l in dets.labels],
+                "label_names": [
+                    names.get(int(l), str(int(l))) for l in dets.labels
+                ],
+            })
+            if args.visualize:
+                out = os.path.join(
+                    args.visualize, os.path.basename(path) + ".pred.jpg"
+                )
+                _visualize(path, dets, out, names)
+        if len(paths) > chunk_pages:
+            logger.info("Predicted %d/%d pages",
+                        min(start + chunk_pages, len(paths)), len(paths))
 
     if args.output:
         import fsspec

@@ -41,13 +41,14 @@ class _Waiter:
     """One in-flight request: the handler thread blocks on ``event``
     until the dispatcher fills ``result`` (or ``error``)."""
 
-    __slots__ = ("page", "event", "result", "error")
+    __slots__ = ("page", "event", "result", "error", "cancelled")
 
     def __init__(self, page: bytes):
         self.page = page
         self.event = threading.Event()
         self.result = None
         self.error: Exception | None = None
+        self.cancelled = False  # set when the submitter gave up waiting
 
 
 class DynamicBatcher:
@@ -87,6 +88,9 @@ class DynamicBatcher:
         w = _Waiter(page)
         self._q.put(w)
         if not w.event.wait(timeout):
+            # mark dead so the dispatcher skips it instead of burning a
+            # device batch slot on a result nobody will read
+            w.cancelled = True
             raise TimeoutError("inference timed out")
         if w.error is not None:
             raise w.error
@@ -98,6 +102,8 @@ class DynamicBatcher:
         import time
 
         first = self._q.get()
+        while first is not None and first.cancelled:
+            first = self._q.get()
         if first is None:
             return None
         batch = [first]
@@ -113,7 +119,8 @@ class DynamicBatcher:
             if nxt is None:  # re-queue shutdown for the outer loop
                 self._q.put(None)
                 break
-            batch.append(nxt)
+            if not nxt.cancelled:
+                batch.append(nxt)
         return batch
 
     def _loop(self) -> None:
@@ -323,9 +330,14 @@ def make_server(model, host: str, port: int, *, image_sizes=(224,),
         engine, max_batch=max_batch, flush_ms=flush_ms, metrics=metrics
     )
     batcher.start()
-    httpd = ThreadingHTTPServer(
-        (host, port), make_handler(batcher, names, info, metrics)
-    )
+
+    class _Server(ThreadingHTTPServer):
+        # non-daemon handlers + block_on_close: server_close() joins
+        # in-flight request threads, so a SIGTERM drain really does let
+        # responses finish before the process exits
+        daemon_threads = False
+
+    httpd = _Server((host, port), make_handler(batcher, names, info, metrics))
     httpd.metrics = metrics  # for callers/tests
     return httpd, batcher
 
@@ -386,8 +398,9 @@ def main(argv=None) -> None:
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.shutdown()
-        batcher.stop()
+        httpd.shutdown()       # stop accepting
+        httpd.server_close()   # join in-flight handler threads
+        batcher.stop()         # then drain the dispatcher
         logger.info("Server stopped cleanly")
 
 

@@ -548,6 +548,7 @@ class Trainer:
                             self.epoch, opt_state=self._ckpt_opt_state(),
                             extra={
                                 "loss_history": self.loss_history,
+                                "metrics_history": self.metrics_history,
                                 # step-granular resume point: resume()
                                 # continues the cut epoch from here rather
                                 # than redoing it (epochs at PubLayNet
@@ -581,7 +582,8 @@ class Trainer:
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
                             epoch + 1, opt_state=self._ckpt_opt_state(),
-                            extra={"loss_history": self.loss_history},
+                            extra={"loss_history": self.loss_history,
+                                   "metrics_history": self.metrics_history},
                             writer=writer,
                         )
                         logger.info(
@@ -637,6 +639,10 @@ class Trainer:
             self.opt_state = state["opt_state"]
         self.epoch = state["epoch"]
         self.loss_history = state["extra"].get("loss_history", [])
+        # restore the structured history too: _save_metrics rewrites the
+        # whole metrics.jsonl each epoch, so a resume without it would
+        # clobber every pre-resume record
+        self.metrics_history = state["extra"].get("metrics_history", [])
         # mid-epoch resume point (preempt checkpoints; 0 = epoch boundary)
         self._start_step = int(state["extra"].get("step_in_epoch", 0) or 0)
         # logged-LR bookkeeping (the optimizer's own schedule count lives

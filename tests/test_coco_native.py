@@ -198,3 +198,11 @@ def test_dataset_evaluator_same_metrics_native(tmp_path, monkeypatch):
     m_n = CocoEvaluator(ds_native.coco_data).evaluate(preds)
     m_p = CocoEvaluator(ds_py.coco_data).evaluate(preds)
     assert m_n == m_p
+
+
+def test_non_integral_image_size_falls_back():
+    data = _coco_json(n_img=1, n_ann=1)
+    raw = json.dumps(data)
+    raw = raw.replace(f'"width": {data["images"][0]["width"]}',
+                      '"width": 612.5')
+    assert cocojson.parse_coco_bytes(raw.encode()) is None

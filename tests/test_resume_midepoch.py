@@ -130,3 +130,49 @@ def test_midepoch_resume_matches_uninterrupted_run(tmp_path):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     finally:
         set_layout_dit_config(None)
+
+
+def test_resume_keeps_metrics_history(tmp_path):
+    """metrics.jsonl must survive preempt+resume: _save_metrics rewrites
+    the whole file per epoch, so resume() restores metrics_history."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=13)
+    write_fixture_config(root, epochs=3, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 100
+    set_layout_dit_config(cfg)
+    try:
+        trainer = Trainer(cfg, build_model(cfg))
+        real = trainer._dispatch
+        calls = {"n": 0}
+
+        def boom(*a, **kw):
+            out = real(*a, **kw)
+            calls["n"] += 1
+            if calls["n"] == 2:  # after epoch 2's only step
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        trainer._dispatch = boom
+        trainer.train()
+        assert len(trainer.metrics_history) == 2  # epochs 1, 2
+
+        import glob
+
+        ckpt = glob.glob(os.path.join(
+            root, "fixture", "model_checkpoints", "*_preempt.msgpack"))[0]
+        trainer2 = Trainer(cfg, build_model(cfg))
+        trainer2.resume(ckpt)
+        assert [m["epoch"] for m in trainer2.metrics_history] == [1, 2]
+        trainer2.train()
+        epochs = [m["epoch"] for m in trainer2.metrics_history]
+        assert epochs[0] == 1 and epochs[-1] == 3
+        # the on-disk jsonl covers the WHOLE run, not just post-resume
+        recs = [json.loads(l) for l in open(os.path.join(
+            root, "fixture", "metrics", "metrics.jsonl"))]
+        assert [r["epoch"] for r in recs] == epochs
+    finally:
+        set_layout_dit_config(None)

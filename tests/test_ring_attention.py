@@ -142,3 +142,29 @@ def test_detector_loss_ring_sp_matches_single_device():
         in_shardings=(None, data, data, data, data),
     )(sharded, images, gt_boxes, gt_labels, gt_valid)
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+
+
+def test_ring_config_safe_without_sp():
+    """A training config with attention_impl='ring' must not crash the
+    SP-less inference paths (evaluator, serving, predict CLI):
+    vit_forward degrades ring -> auto when no seq_sharding is given."""
+    import dataclasses
+
+    from layoutdit_tpu.models.detection.detector import (
+        detector_predict,
+        init_detector_params,
+    )
+    from tests.test_parallel import _batch, _tiny_cfg
+
+    cfg = dataclasses.replace(_tiny_cfg(), attention_impl="ring")
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    images, *_ = _batch(2)
+    dets = jax.jit(lambda p, im: detector_predict(p, im, cfg))(params, images)
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+    # numerics match the plain config (ring degraded to the same path)
+    ref = jax.jit(
+        lambda p, im: detector_predict(p, im, _tiny_cfg())
+    )(params, images)
+    np.testing.assert_array_equal(
+        np.asarray(dets.scores), np.asarray(ref.scores)
+    )
