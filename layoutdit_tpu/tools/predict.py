@@ -58,22 +58,31 @@ def collect_inputs(pattern: str) -> list[str]:
     return sorted(paths)
 
 
-def _page_sizes(paths: list[str]) -> list[tuple[int, int]]:
-    """(h, w) per page — PIL parses only the header, no pixel decode."""
+def _page_sizes(paths: list[str], reader=None) -> list[tuple[int, int]]:
+    """(h, w) per page — PIL parses only the header, no pixel decode.
+    reader: optional name -> bytes (shard mode)."""
+    import io
+
     from PIL import Image
 
     sizes = []
     for p in paths:
-        with Image.open(p) as im:
+        src = io.BytesIO(reader(p)) if reader is not None else p
+        with Image.open(src) as im:
             w, h = im.size
         sizes.append((h, w))
     return sizes
 
 
-def _visualize(path: str, dets, out_path: str, names: dict) -> None:
+def _visualize(src, dets, out_path: str, names: dict) -> None:
+    """src: an image path or raw bytes (shard mode)."""
+    import io
+
     from PIL import Image, ImageDraw
 
-    with Image.open(path) as im:
+    if isinstance(src, (bytes, bytearray)):
+        src = io.BytesIO(src)
+    with Image.open(src) as im:
         im = im.convert("RGB")
         draw = ImageDraw.Draw(im)
         for box, score, label in zip(dets.boxes, dets.scores, dets.labels):
@@ -98,7 +107,22 @@ def run(args) -> list[dict]:
     model.restore_checkpoint(args.checkpoint)
     logger.info("Loaded checkpoint %s", args.checkpoint)
 
-    paths = collect_inputs(args.input)
+    shard_index = None
+    if args.shards:
+        from layoutdit_tpu.data.shards import ShardIndex
+
+        shard_index = ShardIndex(args.shards)
+        paths = sorted(shard_index.entries)
+        if args.input:
+            import fnmatch
+
+            paths = [p for p in paths if fnmatch.fnmatch(p, args.input)]
+        if not paths:
+            raise FileNotFoundError(
+                f"no shard members match {args.input!r} in {args.shards}"
+            )
+    else:
+        paths = collect_inputs(args.input)
     logger.info("Predicting %d pages", len(paths))
 
     kwargs = dict(
@@ -107,8 +131,10 @@ def run(args) -> list[dict]:
         int8=args.int8,
     )
     if args.auto_buckets:
+        reader = shard_index.read if shard_index is not None else None
         engine = BatchInferenceEngine.from_corpus(
-            model, _page_sizes(paths), max_buckets=args.auto_buckets, **kwargs
+            model, _page_sizes(paths, reader),
+            max_buckets=args.auto_buckets, **kwargs
         )
     else:
         engine = BatchInferenceEngine(
@@ -125,7 +151,10 @@ def run(args) -> list[dict]:
     chunk_pages = max(args.batch_size * 32, args.batch_size)
     for start in range(0, len(paths), chunk_pages):
         chunk = paths[start:start + chunk_pages]
-        pages = [open(p, "rb").read() for p in chunk]
+        if shard_index is not None:
+            pages = [shard_index.read(p) for p in chunk]
+        else:
+            pages = [open(p, "rb").read() for p in chunk]
         detections = engine.predict_pages(pages)
         del pages
         for path, dets in zip(chunk, detections):
@@ -142,7 +171,9 @@ def run(args) -> list[dict]:
                 out = os.path.join(
                     args.visualize, os.path.basename(path) + ".pred.jpg"
                 )
-                _visualize(path, dets, out, names)
+                src = (shard_index.read(path) if shard_index is not None
+                       else path)
+                _visualize(src, dets, out, names)
         if len(paths) > chunk_pages:
             logger.info("Predicted %d/%d pages",
                         min(start + chunk_pages, len(paths)), len(paths))
@@ -162,8 +193,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--checkpoint", required=True,
                         help="framework checkpoint (.msgpack or .orbax dir)")
-    parser.add_argument("--input", required=True,
-                        help="image file, directory, or glob")
+    parser.add_argument("--input", default=None,
+                        help="image file, directory, or glob (with "
+                             "--shards: optional member-name filter)")
+    parser.add_argument("--shards", default=None,
+                        help="read pages from a tar-shard dir built by "
+                             "tools/make_shards.py instead of files")
     parser.add_argument("--output", default=None,
                         help="detections JSON path (fsspec: local or gs://)")
     parser.add_argument("--sizes", type=int, nargs="+", default=[224],
@@ -182,6 +217,8 @@ def main(argv=None) -> None:
     parser.add_argument("--visualize", default=None,
                         help="directory for box-overlay JPEGs")
     args = parser.parse_args(argv)
+    if not args.input and not args.shards:
+        parser.error("one of --input / --shards is required")
     # offline tool: don't probe gs:// for config unless the user set it up
     os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
     run(args)

@@ -76,3 +76,44 @@ def test_label_names_inventories():
     assert _label_names(13, "docbank")[13] == "title"
     assert _label_names(7, None) == {}                  # unknown count
     assert _label_names(7, "docbank") == {}             # mismatched override
+
+
+def test_predict_cli_from_shards(tmp_path):
+    """--shards: pages come straight out of the tar-shard index."""
+    from layoutdit_tpu.tools.make_shards import main as make_shards_main
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=7)
+    make_shards_main([
+        "--images", os.path.join(root, "samples"),
+        "--annotations", os.path.join(root, "samples.json"),
+        "--out", os.path.join(root, "shards"),
+    ])
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ckpt = model.save_checkpoint(root, "run", 1)
+        out = os.path.join(root, "dets.json")
+        viz = os.path.join(root, "viz")
+        main([
+            "--checkpoint", ckpt,
+            "--shards", os.path.join(root, "shards"),
+            "--output", out, "--sizes", "64", "--batch-size", "4",
+            "--score-thresh", "0.0", "--visualize", viz,
+        ])
+        records = json.load(open(out))
+        assert len(records) == 4
+        assert all(r["boxes"] for r in records)
+        assert len(os.listdir(viz)) == 4
+        # member-name filter through --input
+        main([
+            "--checkpoint", ckpt,
+            "--shards", os.path.join(root, "shards"),
+            "--input", "*0000*", "--output", out,
+            "--sizes", "64", "--batch-size", "4",
+        ])
+        assert len(json.load(open(out))) == 1
+    finally:
+        set_layout_dit_config(None)
