@@ -130,3 +130,30 @@ def test_trainer_uses_shards_from_config(tmp_path):
         assert np.isfinite(trainer.loss_history[0])
     finally:
         set_layout_dit_config(None)
+
+
+def test_shards_over_memory_filesystem():
+    """build_shards / ShardIndex work on a non-POSIX fsspec backend
+    (stand-in for gs://): ranged reads via the object-store interface."""
+    import fsspec
+
+    fs = fsspec.filesystem("memory")
+    try:
+        blobs = {f"img_{i}.jpg": bytes([i]) * (100 + i) for i in range(5)}
+        out = "memory://ldtpu-shards/train"
+        index = build_shards(
+            list(blobs), lambda n: blobs[n], out,
+            shard_size_bytes=300,
+        )
+        assert len(index["shards"]) >= 2
+        si = ShardIndex(out)
+        try:
+            for name, data in blobs.items():
+                assert si.read(name) == data
+        finally:
+            si.close()
+    finally:
+        try:
+            fs.rm("/ldtpu-shards", recursive=True)
+        except FileNotFoundError:
+            pass
