@@ -122,6 +122,20 @@ def detector_param_specs(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
                         else:
                             spec = entry
                         break
+            elif "box_head" in keys:
+                # TwoMLPHead is the biggest GEMM pair outside the encoder
+                # (fc6: [C*P*P, 1024]): same Megatron pattern — fc6
+                # column-parallel, fc7 row-parallel (one all-reduce), the
+                # tiny predictors stay replicated. The relu in between
+                # runs on [K, rep/tp] shards.
+                ndim = len(getattr(leaf, "shape", ()))
+                if "fc6" in keys:
+                    if keys[-1] == "kernel":
+                        spec = P(*([None] * (ndim - 1)), model_axis)
+                    else:
+                        spec = P(model_axis)
+                elif "fc7" in keys and keys[-1] == "kernel":
+                    spec = P(model_axis, None)
         if use_fsdp:
             spec = _fsdp_spec(leaf, spec, data_axis, dp)
         return spec

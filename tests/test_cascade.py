@@ -205,9 +205,10 @@ def test_cascade_checkpoint_roundtrip(tmp_path, cascade_detector):
     assert state["epoch"] == 3
 
 
-def test_cascade_param_specs_replicated():
-    """TP sharding rules must leave the (small) cascade heads replicated
-    while still sharding the encoder."""
+def test_cascade_param_specs_tp():
+    """TP sharding rules cover every cascade stage's TwoMLPHead (each is
+    the same big fc6/fc7 GEMM pair as the plain head — Megatron column/
+    row split) while the tiny per-stage predictors stay replicated."""
     from jax.sharding import PartitionSpec as P
 
     from layoutdit_tpu.parallel.mesh import build_mesh
@@ -217,15 +218,49 @@ def test_cascade_param_specs_replicated():
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
     specs = detector_param_specs(params, mesh)
-    for leaf in jax.tree_util.tree_leaves(
-        specs["cascade_heads"], is_leaf=lambda x: isinstance(x, P)
-    ):
-        assert leaf == P()
+    for stage in specs["cascade_heads"].values():
+        assert stage["box_head"]["fc6"]["kernel"][-1] == "model"
+        assert stage["box_head"]["fc7"]["kernel"] == P("model", None)
+        for leaf in jax.tree_util.tree_leaves(
+            stage["box_predictor"], is_leaf=lambda x: isinstance(x, P)
+        ):
+            assert leaf == P()
     # encoder is still TP-sharded
     flat = jax.tree_util.tree_leaves(
         specs["backbone"], is_leaf=lambda x: isinstance(x, P)
     )
     assert any(leaf != P() for leaf in flat)
+
+
+def test_cascade_tp_loss_matches_single_device():
+    """Cascade loss with TP-sharded stage heads == unsharded numerics."""
+    import numpy as _np
+
+    from layoutdit_tpu.parallel.mesh import (
+        batch_sharding,
+        build_mesh,
+    )
+    from layoutdit_tpu.parallel.sharding import shard_params
+
+    cfg = _cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    images, gt_boxes, gt_labels, gt_valid = _batch()
+    rng = jax.random.PRNGKey(3)
+    ref = jax.jit(
+        lambda p: sum(detector_loss(
+            p, rng, images, gt_boxes, gt_labels, gt_valid, cfg
+        ).values())
+    )(params)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    sharded = shard_params(params, mesh)
+    data = batch_sharding(mesh)
+    got = jax.jit(
+        lambda p, im, gb, gl, gv: sum(detector_loss(
+            p, rng, im, gb, gl, gv, cfg
+        ).values()),
+        in_shardings=(None, data, data, data, data),
+    )(sharded, images, gt_boxes, gt_labels, gt_valid)
+    _np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
 # ----------------------------------------------------------- dp-mesh step

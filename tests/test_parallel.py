@@ -323,3 +323,37 @@ def test_evaluator_dp_mesh_matches_single_device(tmp_path):
         assert got2 is not None
     finally:
         set_layout_dit_config(None)
+
+
+def test_box_head_tensor_parallel_specs_and_parity():
+    """TP now covers the box head: fc6 column-parallel, fc7 row-parallel,
+    predictors replicated — and the sharded loss still matches."""
+    from layoutdit_tpu.models.detection.detector import init_detector_params
+
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    specs = detector_param_specs(params, mesh)
+    fc6 = specs["box_head"]["fc6"]
+    assert fc6["kernel"][-1] == "model" and fc6["bias"] == P("model")
+    assert specs["box_head"]["fc7"]["kernel"] == P("model", None)
+    assert specs["box_head"]["fc7"]["bias"] == P()
+    assert specs["box_predictor"]["cls"]["kernel"] == P()
+
+    images, gt_boxes, gt_labels, gt_valid = _batch(4)
+    rng = jax.random.PRNGKey(7)
+    ref = jax.jit(
+        lambda p: sum(
+            detector_loss(p, rng, images, gt_boxes, gt_labels, gt_valid,
+                          cfg).values()
+        )
+    )(params)
+    sharded = shard_params(params, mesh)
+    data = batch_sharding(mesh)
+    got = jax.jit(
+        lambda p, im, gb, gl, gv: sum(
+            detector_loss(p, rng, im, gb, gl, gv, cfg).values()
+        ),
+        in_shardings=(None, data, data, data, data),
+    )(sharded, images, gt_boxes, gt_labels, gt_valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
