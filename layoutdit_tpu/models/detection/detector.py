@@ -129,9 +129,10 @@ class DetectorConfig:
             else vit_mod.DIT_BASE
         )
         if mc.vit_overrides:
-            vit_cfg = dataclasses.replace(
-                vit_cfg, image_size=mc.image_size, **mc.vit_overrides
-            )
+            # an explicit image_size in the overrides wins over the
+            # model-level one (otherwise the duplicate kwarg raises)
+            overrides = {"image_size": mc.image_size, **mc.vit_overrides}
+            vit_cfg = dataclasses.replace(vit_cfg, **overrides)
         elif mc.image_size != vit_cfg.image_size:
             vit_cfg = dataclasses.replace(vit_cfg, image_size=mc.image_size)
         backbone_kind = (

@@ -154,3 +154,143 @@ def load_beit_checkpoint(path: str, cfg: ViTConfig) -> dict:
             sd = torch.load(f, map_location="cpu", weights_only=True)
     logger.info("Loaded BEiT state_dict with %d entries from %s", len(sd), path)
     return beit_state_dict_to_params(sd, cfg)
+
+
+# --------------------------------------------------------- full detector
+
+def _linear_np(sd: Mapping, name: str) -> dict:
+    return {
+        "kernel": jnp.asarray(_np(sd[name + ".weight"]).T),
+        "bias": jnp.asarray(_np(sd[name + ".bias"])),
+    }
+
+
+def _conv_np(sd: Mapping, *names: str) -> dict:
+    """First present key wins (torchvision renamed conv containers across
+    versions: plain Conv2d vs Conv2dNormActivation's ``.0``). Our conv
+    kernels use torch's [out, in, kh, kw] layout directly (fpn.py)."""
+    for name in names:
+        if name + ".weight" in sd:
+            return {
+                "kernel": jnp.asarray(_np(sd[name + ".weight"])),
+                "bias": jnp.asarray(_np(sd[name + ".bias"])),
+            }
+    raise KeyError(f"none of {names} in state_dict")
+
+
+def detector_state_dict_to_params(state_dict: Mapping, cfg) -> dict:
+    """Convert a REFERENCE full-detector checkpoint (torch
+    ``LayoutDetectionModel.state_dict()`` — torchvision FasterRCNN over
+    the DiT+FPN backbone, model.py:90-121) into this framework's
+    detector pytree: encoder + FPN + RPN head + box head + predictor.
+
+    This is the migration path for users arriving with trained reference
+    checkpoints: convert once offline
+    (``tools/convert_reference_checkpoint.py``), then train/serve here.
+    Name-based, pure numpy; shapes validated against the target config.
+    """
+    from layoutdit_tpu.models.detection.detector import init_detector_params
+
+    if getattr(cfg, "cascade_iou_threshs", None):
+        raise ValueError(
+            "reference checkpoints are plain Faster R-CNN; target a "
+            "non-cascade config (cascade heads have no source weights)"
+        )
+
+    sd: dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    # encoder (reference: backbone.backbone.dit.<HF BeitModel keys>)
+    enc_sd = {
+        k[len("backbone.backbone.dit."):]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.backbone.dit.")
+    }
+    if not enc_sd:
+        raise ValueError(
+            "no DiT encoder weights under backbone.backbone.dit.* — "
+            "not a reference detector checkpoint?"
+        )
+    params: dict = {
+        "backbone": {
+            "vit": beit_state_dict_to_params(enc_sd, cfg.backbone.vit),
+            "fpn": {
+                "inner": [
+                    _conv_np(sd, f"backbone.fpn.inner_blocks.{i}.0",
+                             f"backbone.fpn.inner_blocks.{i}")
+                    for i in range(4)
+                ],
+                "layer": [
+                    _conv_np(sd, f"backbone.fpn.layer_blocks.{i}.0",
+                             f"backbone.fpn.layer_blocks.{i}")
+                    for i in range(4)
+                ],
+            },
+        },
+        "rpn_head": {
+            "conv": _conv_np(sd, "rpn.head.conv.0.0", "rpn.head.conv"),
+            "cls": _conv_np(sd, "rpn.head.cls_logits"),
+            "bbox": _conv_np(sd, "rpn.head.bbox_pred"),
+        },
+        "box_predictor": {
+            "cls": _linear_np(sd, "roi_heads.box_predictor.cls_score"),
+            "bbox": _linear_np(sd, "roi_heads.box_predictor.bbox_pred"),
+        },
+    }
+
+    # TwoMLPHead: torch flattens pooled [K, C, Py, Px] in (c, py, px) row
+    # order; our fc6 kernel is 4D [Px, Py, C, rep] consuming the RoIAlign
+    # native [K, Px, Py, C] layout (heads.py init_box_head_params) — same
+    # permutation applied here.
+    w6 = _np(sd["roi_heads.box_head.fc6.weight"]).T  # [in, rep]
+    c = cfg.backbone.fpn_out_channels
+    p = cfg.roi_output_size
+    rep = w6.shape[1]
+    if w6.shape[0] != c * p * p:
+        raise ValueError(
+            f"fc6 expects {c}x{p}x{p} pooled features "
+            f"(fpn_out_channels x roi_output_size^2) but the checkpoint "
+            f"has in_features={w6.shape[0]} — config mismatch"
+        )
+    params["box_head"] = {
+        "fc6": {
+            "kernel": jnp.asarray(
+                w6.reshape(c, p, p, rep).transpose(2, 1, 0, 3)
+            ),
+            "bias": jnp.asarray(_np(sd["roi_heads.box_head.fc6.bias"])),
+        },
+        "fc7": _linear_np(sd, "roi_heads.box_head.fc7"),
+    }
+
+    # shape validation against the target config's template
+    import jax
+
+    template = init_detector_params(jax.random.PRNGKey(0), cfg)
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_p = dict(
+        (tuple(str(x) for x in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    )
+    errors = []
+    for path, leaf in flat_t:
+        key = tuple(str(x) for x in path)
+        got = flat_p.get(key)
+        if got is None:
+            errors.append(f"missing {key}")
+        elif tuple(got.shape) != tuple(leaf.shape):
+            errors.append(f"{key}: {tuple(got.shape)} != {tuple(leaf.shape)}")
+    if errors or len(flat_p) != len(flat_t):
+        raise ValueError(
+            "converted checkpoint does not match the target config: "
+            + "; ".join(errors[:8])
+            + (f"; +{len(errors) - 8} more" if len(errors) > 8 else "")
+            + f" (leaves: {len(flat_p)} vs {len(flat_t)})"
+        )
+    logger.info(
+        "Converted reference detector checkpoint: %d leaves", len(flat_p)
+    )
+    return params
