@@ -168,3 +168,32 @@ def test_ring_config_safe_without_sp():
     np.testing.assert_array_equal(
         np.asarray(dets.scores), np.asarray(ref.scores)
     )
+
+
+def test_ring_composes_with_remat():
+    """Encoder remat (jax.checkpoint) replays the ppermute ring in the
+    backward pass — gradients must match the non-remat ring exactly."""
+    from layoutdit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+    cfg = ViTConfig(hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    image_size=64)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    pixels = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64)), jnp.float32)
+    mesh = _mesh()
+    seq = _seq(mesh)
+
+    def loss(p, remat):
+        return vit_forward(
+            p, pixels, cfg, attention_impl="ring", seq_sharding=seq,
+            remat=remat,
+        )[0].astype(jnp.float32).sum()
+
+    g_plain = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    g_remat = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
