@@ -132,6 +132,16 @@ class ShardIndex:
             h.seek(offset)
             return h.read(size)
 
+    @retry_io
+    def read_prefix(self, file_name: str, n: int) -> bytes:
+        """First min(n, size) bytes of a member — enough for image
+        header parsing without downloading the whole page."""
+        shard_idx, offset, size = self.entries[file_name]
+        with self._lock:
+            h = self._handle(shard_idx)
+            h.seek(offset)
+            return h.read(min(n, size))
+
     def close(self) -> None:
         with self._lock:
             for h in self._handles.values():

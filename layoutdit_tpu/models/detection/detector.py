@@ -129,8 +129,15 @@ class DetectorConfig:
             else vit_mod.DIT_BASE
         )
         if mc.vit_overrides:
-            # an explicit image_size in the overrides wins over the
-            # model-level one (otherwise the duplicate kwarg raises)
+            ov_size = mc.vit_overrides.get("image_size")
+            if ov_size is not None and ov_size != mc.image_size:
+                # a split-brain config (transform/anchors at one size,
+                # encoder grid at another) fails deep inside the first
+                # trace — reject it loudly here instead
+                raise ValueError(
+                    f"vit_overrides.image_size={ov_size} conflicts with "
+                    f"detection_model_config.image_size={mc.image_size}"
+                )
             overrides = {"image_size": mc.image_size, **mc.vit_overrides}
             vit_cfg = dataclasses.replace(vit_cfg, **overrides)
         elif mc.image_size != vit_cfg.image_size:

@@ -266,10 +266,13 @@ def detector_state_dict_to_params(state_dict: Mapping, cfg) -> dict:
         "fc7": _linear_np(sd, "roi_heads.box_head.fc7"),
     }
 
-    # shape validation against the target config's template
+    # shape validation against the target config's ABSTRACT template
+    # (eval_shape: no multi-hundred-MB random init just to compare shapes)
     import jax
 
-    template = init_detector_params(jax.random.PRNGKey(0), cfg)
+    template = jax.eval_shape(
+        lambda k: init_detector_params(k, cfg), jax.random.PRNGKey(0)
+    )
     flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
     flat_p = dict(
         (tuple(str(x) for x in path), leaf)
@@ -283,11 +286,15 @@ def detector_state_dict_to_params(state_dict: Mapping, cfg) -> dict:
             errors.append(f"missing {key}")
         elif tuple(got.shape) != tuple(leaf.shape):
             errors.append(f"{key}: {tuple(got.shape)} != {tuple(leaf.shape)}")
-    if errors or len(flat_p) != len(flat_t):
+    if len(flat_p) != len(flat_t):
+        tkeys = {tuple(str(x) for x in path) for path, _ in flat_t}
+        extra = sorted(set(flat_p) - tkeys)
+        errors.extend(f"unexpected {k}" for k in extra[:8])
+    if errors:
         raise ValueError(
             "converted checkpoint does not match the target config: "
-            + "; ".join(errors[:8])
-            + (f"; +{len(errors) - 8} more" if len(errors) > 8 else "")
+            + "; ".join(errors[:12])
+            + (f"; +{len(errors) - 12} more" if len(errors) > 12 else "")
             + f" (leaves: {len(flat_p)} vs {len(flat_t)})"
         )
     logger.info(

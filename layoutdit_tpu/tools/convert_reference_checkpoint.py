@@ -45,18 +45,23 @@ def main(argv=None) -> None:
     import torch
 
     from layoutdit_tpu.config import get_layout_dit_config
-    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.models.detection.detector import DetectorConfig
     from layoutdit_tpu.models.weights_io import detector_state_dict_to_params
     from layoutdit_tpu.train.checkpoint import save_checkpoint
 
     with fsspec.open(args.torch_path, "rb") as f:
-        state_dict = torch.load(f, map_location="cpu")
+        # weights_only: a state_dict is plain tensors; never run pickle
+        # reduce code from an external checkpoint
+        state_dict = torch.load(f, map_location="cpu", weights_only=True)
     logger.info("Loaded %d torch tensors from %s",
                 len(state_dict), args.torch_path)
 
     config = get_layout_dit_config()
-    model = build_model(config)  # provides the target DetectorConfig
-    params = detector_state_dict_to_params(state_dict, model.cfg)
+    cfg = DetectorConfig.from_model_config(
+        config.detection_model_config,
+        precision_dtype=config.precision.compute_dtype,
+    )
+    params = detector_state_dict_to_params(state_dict, cfg)
     save_checkpoint(args.out, params=params, opt_state=None, epoch=0,
                     extra={"source": args.torch_path})
     logger.info("Wrote converted checkpoint to %s", args.out)

@@ -131,7 +131,22 @@ def run(args) -> list[dict]:
         int8=args.int8,
     )
     if args.auto_buckets:
-        reader = shard_index.read if shard_index is not None else None
+        reader = None
+        if shard_index is not None:
+            def reader(name):  # noqa: E306
+                # header-only ranged read; fall back to the full member
+                # for exotic encodings with late size markers
+                head = shard_index.read_prefix(name, 1 << 16)
+                try:
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(head)) as im:
+                        im.size
+                    return head
+                except Exception:  # noqa: BLE001
+                    return shard_index.read(name)
         engine = BatchInferenceEngine.from_corpus(
             model, _page_sizes(paths, reader),
             max_buckets=args.auto_buckets, **kwargs
@@ -156,8 +171,7 @@ def run(args) -> list[dict]:
         else:
             pages = [open(p, "rb").read() for p in chunk]
         detections = engine.predict_pages(pages)
-        del pages
-        for path, dets in zip(chunk, detections):
+        for idx_in_chunk, (path, dets) in enumerate(zip(chunk, detections)):
             records.append({
                 "file": path,
                 "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
@@ -171,9 +185,10 @@ def run(args) -> list[dict]:
                 out = os.path.join(
                     args.visualize, os.path.basename(path) + ".pred.jpg"
                 )
-                src = (shard_index.read(path) if shard_index is not None
-                       else path)
+                # reuse the chunk's in-memory bytes: no second shard read
+                src = pages[idx_in_chunk] if shard_index is not None else path
                 _visualize(src, dets, out, names)
+        del pages
         if len(paths) > chunk_pages:
             logger.info("Predicted %d/%d pages",
                         min(start + chunk_pages, len(paths)), len(paths))

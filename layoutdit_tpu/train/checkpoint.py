@@ -120,17 +120,23 @@ def load_checkpoint(
         data = f.read()
     if not data.startswith(_MAGIC):
         raise ValueError(f"{path} is not a layoutdit_tpu checkpoint")
-    target = {
-        "params": params_template,
-        "opt_state": opt_state_template if opt_state_template is not None else {},
-        "meta": {"epoch": 0, "extra": "{}", "has_opt_state": False},
-    }
-    payload = serialization.from_bytes(target, data[len(_MAGIC):])
+    # restore subtree-by-subtree so a params-only checkpoint (e.g. a
+    # converted reference model, has_opt_state=False) loads under an
+    # opt_state template instead of raising on the empty stored subtree
+    raw = serialization.msgpack_restore(data[len(_MAGIC):])
+    meta = raw.get("meta", {})
+    has_opt = bool(meta.get("has_opt_state", False))
+    params = serialization.from_state_dict(params_template, raw["params"])
+    opt_state = None
+    if opt_state_template is not None and has_opt:
+        opt_state = serialization.from_state_dict(
+            opt_state_template, raw["opt_state"]
+        )
     return {
-        "params": payload["params"],
-        "opt_state": payload["opt_state"] if opt_state_template is not None else None,
-        "epoch": int(payload["meta"]["epoch"]),
-        "extra": json.loads(payload["meta"]["extra"]),
+        "params": params,
+        "opt_state": opt_state,
+        "epoch": int(meta.get("epoch", 0)),
+        "extra": json.loads(meta.get("extra", "{}")),
     }
 
 

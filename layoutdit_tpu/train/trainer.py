@@ -632,7 +632,15 @@ class Trainer:
             opt_state_template=self._ckpt_opt_state(),
         )
         self.model.params = state["params"]
-        if self.ema_params is not None:
+        if state["opt_state"] is None:
+            # params-only checkpoint (e.g. a converted reference model,
+            # tools/convert_reference_checkpoint.py): warm-start the
+            # weights, keep the freshly initialized optimizer state
+            logger.warning(
+                "%s has no optimizer state; resuming weights only",
+                checkpoint_path,
+            )
+        elif self.ema_params is not None:
             self.opt_state = state["opt_state"]["tx"]
             self.ema_params = state["opt_state"]["ema"]
         else:

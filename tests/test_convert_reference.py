@@ -208,3 +208,41 @@ def test_convert_cli_roundtrip(tmp_path):
         )
     finally:
         set_layout_dit_config(None)
+
+
+def test_params_only_checkpoint_resumes_training(tmp_path):
+    """The documented migrate-then-train path: a converted (params-only)
+    checkpoint loads through Trainer.resume — weights restored, fresh
+    optimizer state, epoch 0 — and training proceeds."""
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+    from layoutdit_tpu.train.checkpoint import save_checkpoint
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=21)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        donor = build_model(cfg)
+        ckpt = os.path.join(root, "converted.msgpack")
+        save_checkpoint(ckpt, params=donor.params, opt_state=None, epoch=0,
+                        extra={"source": "ref.pth"})
+
+        model = build_model(cfg, seed=1)
+        trainer = Trainer(cfg, model)
+        trainer.resume(ckpt)  # must not raise on the missing opt_state
+        assert trainer.epoch == 0
+        np.testing.assert_array_equal(
+            np.asarray(model.params["box_head"]["fc7"]["kernel"]),
+            np.asarray(donor.params["box_head"]["fc7"]["kernel"]),
+        )
+        trainer.train()
+        assert np.isfinite(trainer.loss_history[0])
+    finally:
+        set_layout_dit_config(None)
