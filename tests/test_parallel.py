@@ -78,7 +78,8 @@ def test_param_specs_tensor_parallel():
     assert layer0["mlp_out"]["kernel"] == P("model", None)
     assert layer0["ln1"]["scale"] == P()
     assert specs["backbone"]["vit"]["patch_embed"]["kernel"] == P()
-    assert specs["box_head"]["fc6"]["kernel"] == P()
+    # box head is TP-sharded too since round 3 (fc6 column-parallel)
+    assert specs["box_head"]["fc6"]["kernel"][-1] == "model"
     # pure DP mesh replicates everything
     mesh_dp = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
     specs_dp = detector_param_specs(params, mesh_dp)
