@@ -282,19 +282,38 @@ class BatchInferenceEngine:
                 chunks.append((size, indices[start:start + self.batch_size]))
         in_flight: list[tuple[list[int], np.ndarray, object]] = []
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            decoded = [
-                pool.submit(self._decode_padded, [pages[i] for i in chunk], size)
-                for size, chunk in chunks
-            ]
-            for (size, chunk), fut in zip(chunks, decoded):
+            # decode-ahead is BOUNDED: only enough chunks in flight to
+            # keep the workers busy plus the dispatch window — finished
+            # float32 batches otherwise pile up host-side at corpus
+            # scale (decode is usually faster than device inference)
+            from collections import deque
+
+            pending: deque = deque()
+            chunk_iter = iter(chunks)
+            ahead = self.decode_workers + self.max_in_flight + 1
+
+            def submit_next() -> None:
+                nxt = next(chunk_iter, None)
+                if nxt is not None:
+                    size_, chunk_ = nxt
+                    pending.append((nxt, pool.submit(
+                        self._decode_padded,
+                        [pages[i] for i in chunk_], size_,
+                    )))
+
+            for _ in range(ahead):
+                submit_next()
+            while pending:
+                (size, chunk), fut = pending.popleft()
                 run = self._predict_fn(size)
                 images, orig = fut.result()
+                submit_next()  # refill the decode window
                 decoded_ok = (orig > 0).all(axis=1)  # (0,0) = failed slot
                 in_flight.append(
                     (chunk, decoded_ok,
                      run(self.params, *self._put(images, orig)))
                 )
-                if len(in_flight) > self.max_in_flight:
+                if len(in_flight) >= self.max_in_flight:
                     fetch(*in_flight.pop(0))
         for chunk, decoded_ok, dets in in_flight:
             fetch(chunk, decoded_ok, dets)

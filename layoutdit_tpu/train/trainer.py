@@ -408,7 +408,7 @@ class Trainer:
             n_steps += s
             n_new += s
             losses.append(self._dispatch(batch, stacked, sub, n_steps))
-            if self._guard is not None and self._guard.preempted:
+            if self._guard is not None and self._preempted_everywhere():
                 # partial epoch: record how far we got so resume can
                 # continue from the NEXT step instead of redoing the epoch
                 self._partial_steps = n_steps
@@ -436,6 +436,27 @@ class Trainer:
             epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),
         )
         return avg
+
+    def _preempted_everywhere(self) -> bool:
+        """Preemption decision, agreed across hosts.
+
+        SIGTERM delivery is per-process: in a multi-host run, host A can
+        see the flag before step k+1 while host B already dispatched it —
+        A would enter the (collective) checkpoint save while B sits in
+        step k+1's all-reduce, deadlocking both until the grace window
+        expires. A tiny allgather of the local flag every dispatch makes
+        every host break at the SAME step boundary (any host flagged =>
+        all break). Single-process runs skip the collective entirely.
+        """
+        local = bool(self._guard.preempted)
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            jnp.asarray([local], dtype=jnp.int32)
+        )
+        return bool(np.asarray(flags).any())
 
     def _dispatch(self, b, stacked: bool, rng, step_num: int):
         """Run 1 (plain batch) or S (super-batch lax.scan) training steps
@@ -537,7 +558,11 @@ class Trainer:
                 self._guard = guard
                 for epoch in range(start, train_cfg.num_epochs):
                     self._run_epoch(epoch)
-                    if guard.preempted:
+                    # agreed decision: a host that broke because ANOTHER
+                    # host was preempted has a False local flag — and the
+                    # between-epoch SIGTERM case needs agreement too
+                    # (_partial_steps>0 already implies every host broke)
+                    if self._partial_steps or self._preempted_everywhere():
                         # epoch may be partial: record only the completed
                         # count so resume restarts it from the beginning.
                         # Synchronous save — the grace window may be short.
