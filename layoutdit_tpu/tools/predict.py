@@ -13,6 +13,7 @@ Usage:
       --input 'pages/*.jpg' --output detections.json \
       [--sizes 224 512 1024 | --auto-buckets 3] [--batch-size 8]
       [--score-thresh 0.3] [--visualize viz_dir/]
+      [--shards shard_dir/]   # read pages from tar shards instead
 """
 
 from __future__ import annotations
