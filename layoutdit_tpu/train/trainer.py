@@ -632,6 +632,9 @@ class Trainer:
                 writer.close()  # barrier: checkpoints durable at return
             if tb is not None:
                 tb.close()
+            # release the loader's decode workers (lazily recreated if
+            # train() runs again on this instance)
+            self.dataloader.close()
             if profiling:
                 jax.profiler.stop_trace()
         self._save_loss()
