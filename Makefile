@@ -1,6 +1,6 @@
 # Developer workflow (reference Makefile parity: test/lint, Makefile:1-12)
 
-.PHONY: test test-fast lint bench fixture dryrun serve predict shards sanitize
+.PHONY: test test-fast lint bench fixture train-fixture dryrun serve predict shards sanitize
 
 test:
 	python -m pytest tests/ -q
@@ -20,11 +20,14 @@ fixture:
 dryrun:
 	python __graft_entry__.py 8
 
+train-fixture:  # train on the fixture (writes epoch_2.msgpack, used below)
+	LAYOUTDIT_CONFIG=/tmp/fixture/cfg.json python -m layoutdit_tpu.main --local_mode
+
 serve:  # dynamic-batching HTTP server on the fixture checkpoint
-	python -m layoutdit_tpu.tools.serve --checkpoint /tmp/fixture/fixture/model_checkpoints/best.msgpack --port 8000
+	python -m layoutdit_tpu.tools.serve --checkpoint /tmp/fixture/fixture/model_checkpoints/epoch_2.msgpack --port 8000
 
 predict:  # offline detection over the fixture pages
-	python -m layoutdit_tpu.tools.predict --checkpoint /tmp/fixture/fixture/model_checkpoints/best.msgpack --input /tmp/fixture/samples --output /tmp/dets.json
+	python -m layoutdit_tpu.tools.predict --checkpoint /tmp/fixture/fixture/model_checkpoints/epoch_2.msgpack --input /tmp/fixture/samples --output /tmp/dets.json
 
 shards:
 	python -m layoutdit_tpu.tools.make_shards --images /tmp/fixture/samples --annotations /tmp/fixture/samples.json --out /tmp/fixture/shards
