@@ -30,7 +30,32 @@ BASELINE_BENCH = 225.88  # images/sec/chip (BENCH_r01.json)
 
 
 def main() -> None:
+    import threading
+
+    # Device-init watchdog: the axon tunnel's failure mode is jax.devices()
+    # hanging forever (observed 2026-08-18, >150 s with no error). A hung
+    # bench stalls the whole driver at round end — fail fast and loudly
+    # instead. Only guards backend init; once devices enumerate, the run
+    # itself makes progress.
+    _devices_up = threading.Event()
+    _timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+
+    def _watchdog() -> None:
+        if not _devices_up.wait(_timeout_s):
+            print(
+                f"bench: TPU backend init did not complete within "
+                f"{_timeout_s:.0f}s (tunnel down?) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
+
+    jax.devices()  # force backend init under the watchdog
+    _devices_up.set()
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
