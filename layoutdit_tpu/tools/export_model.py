@@ -18,7 +18,7 @@ import argparse
 import os
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True, help="artifact directory")
     ap.add_argument("--checkpoint", default=None,
@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. cpu,tpu "
                          "(default: current backend)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
 

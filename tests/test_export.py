@@ -72,6 +72,39 @@ def test_export_size_routing(tiny, tmp_path):
                     np.ones((1, 2), np.float32))
 
 
+def test_export_cli_smoke(tmp_path):
+    """tools/export_model.py end to end: config + checkpoint -> artifact
+    directory loadable by ExportedDetector (the deployment handoff the
+    reference lacks, main.py:12-43)."""
+    import json
+    import os
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.export_model import main
+    from layoutdit_tpu.tools.make_fixture import write_fixture_config
+
+    root = str(tmp_path)
+    write_fixture_config(root, epochs=1, batch_size=2, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ckpt = model.save_checkpoint(root, "run", 1)
+        out = os.path.join(root, "artifact")
+        main(["--out", out, "--checkpoint", ckpt,
+              "--sizes", "64", "--batch-size", "2"])
+
+        art = ExportedDetector(out)
+        got = art.predict(
+            np.zeros((2, 3, 64, 64), np.float32),
+            np.asarray([[64, 64], [48, 56]], np.float32),
+        )
+        assert got["boxes"].shape[0] == 2
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_export_bad_artifact(tmp_path):
     (tmp_path / "manifest.json").write_text('{"format": "something-else"}')
     with pytest.raises(ValueError, match="not a layoutdit_tpu export"):
