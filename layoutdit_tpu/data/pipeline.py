@@ -180,8 +180,52 @@ class DetectionLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
         return order
 
-    def _assemble(self, idxs: Sequence[int]) -> DetectionBatch:
-        b = self.batch_size
+    def _process_local_rows(self) -> np.ndarray | None:
+        """Global batch rows owned by THIS process under the data sharding.
+
+        Multi-host runs (a mesh spanning processes, e.g. a TPU pod over
+        DCN): every host sees the same deterministic global batch order
+        (a function of (seed, epoch) alone), but each must decode ONLY
+        the rows its addressable devices own and construct the global
+        array via jax.make_array_from_process_local_data — plain
+        device_put cannot target non-addressable devices, and decoding
+        the full global batch on every host wastes host CPU P-fold.
+        Returns None in single-process runs (all rows local); rows come
+        back sorted, i.e. in global order, which is the layout
+        make_array_from_process_local_data expects.
+        """
+        import jax
+
+        if self.shardings is None or jax.process_count() == 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        s = next(iter(self.shardings.values()))
+        batch_axis = s.spec[0] if len(s.spec) else None
+        s1d = NamedSharding(s.mesh, PartitionSpec(batch_axis))
+        rows: set[int] = set()
+        imap = s1d.addressable_devices_indices_map((self.batch_size,))
+        for idx in imap.values():
+            rows.update(range(*idx[0].indices(self.batch_size)))
+        return np.asarray(sorted(rows), np.int64)
+
+    def _assemble(
+        self, idxs: Sequence[int], rows: Sequence[int] | None = None
+    ) -> DetectionBatch:
+        """Assemble one batch. ``idxs`` holds the GLOBAL batch's dataset
+        indices (shorter than batch_size only for the epoch remainder).
+        ``rows`` (multi-host) restricts assembly to those global slot
+        positions: the returned arrays then have len(rows) rows, row j
+        holding global slot rows[j]; slots past len(idxs) stay padding
+        (image_valid=False), exactly as in the single-process layout."""
+        if rows is None:
+            b = self.batch_size
+            pairs = [(j, int(idxs[j])) for j in range(len(idxs))]
+        else:
+            b = len(rows)
+            pairs = [
+                (j, int(idxs[g])) for j, g in enumerate(rows) if g < len(idxs)
+            ]
         s = self.image_size
         images = np.zeros((b, 3, s, s), np.float32)
         gt_boxes = np.zeros((b, self.max_gt, 4), np.float32)
@@ -196,7 +240,7 @@ class DetectionLoader:
             # the PIL+numpy route on this host)
             from layoutdit_tpu import native
 
-            img_ids = [self.dataset.ids[int(i)] for i in idxs]
+            img_ids = [self.dataset.ids[i] for _, i in pairs]
             bufs = [self.dataset.load_image_bytes(i) for i in img_ids]
             decoded, origs, fails = native.decode_resize_batch(
                 bufs, s, n_threads=max(1, self.num_workers)
@@ -205,25 +249,25 @@ class DetectionLoader:
                 logger.warning(
                     "%d corrupt images in batch (slots invalidated)", fails
                 )
-            for slot, img_id in enumerate(img_ids):
-                if origs[slot, 0] < 1.0:  # decode failure marker (0, 0):
+            for k, (slot, _) in enumerate(pairs):
+                if origs[k, 0] < 1.0:  # decode failure marker (0, 0):
                     # leave the slot image_valid=False / gt_valid=all-False
                     # so the blank image never enters the loss with
                     # garbage-scaled boxes.
                     continue
-                target = self.dataset.load_target(img_id)
+                target = self.dataset.load_target(img_ids[k])
                 _, boxes, labels, valid, _ = prepare_example(
                     # image content unused for target prep; only dims matter
-                    np.empty((3, int(origs[slot, 0]), int(origs[slot, 1])),
+                    np.empty((3, int(origs[k, 0]), int(origs[k, 1])),
                              np.float32),
                     target, s, self.max_gt, skip_image=True,
                 )
-                images[slot] = decoded[slot]
+                images[slot] = decoded[k]
                 gt_boxes[slot] = boxes
                 gt_labels[slot] = labels
                 gt_valid[slot] = valid
                 image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
-                orig_sizes[slot] = origs[slot]
+                orig_sizes[slot] = origs[k]
                 image_valid[slot] = True
         else:
             # PIL fallback: decode examples CONCURRENTLY (PIL/numpy release
@@ -235,10 +279,10 @@ class DetectionLoader:
                 image, target = self.dataset[int(idx)]
                 return slot, prepare_example(image, target, s, self.max_gt), target
 
-            if self.num_workers > 1 and len(idxs) > 1:
-                results = list(self._pool().map(load, enumerate(idxs)))
+            if self.num_workers > 1 and len(pairs) > 1:
+                results = list(self._pool().map(load, pairs))
             else:
-                results = [load(si) for si in enumerate(idxs)]
+                results = [load(si) for si in pairs]
             for slot, (img, boxes, labels, valid, orig), target in results:
                 images[slot] = img
                 gt_boxes[slot] = boxes
@@ -249,10 +293,11 @@ class DetectionLoader:
                 image_valid[slot] = True
         if self.augment_hflip > 0:
             # Horizontal flip in model space (image + x-coords of boxes).
-            # The decision hashes (seed, epoch, dataset index) — NOT slot
-            # or worker order — so an epoch's augmentation is reproducible
-            # under any num_workers/stack_batches (DataLoaderConfig).
-            for slot, idx in enumerate(idxs):
+            # The decision hashes (seed, epoch, dataset index) — NOT slot,
+            # worker order, or host — so an epoch's augmentation is
+            # reproducible under any num_workers/stack_batches/process
+            # count (DataLoaderConfig).
+            for slot, idx in pairs:
                 if not image_valid[slot]:
                     continue
                 r = np.random.default_rng(
@@ -286,6 +331,9 @@ class DetectionLoader:
         arrays (double-buffered via the bounded queue)."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
+        # Multi-host: rows of the global batch this process decodes/ships
+        # (None = single process, all rows). Computed once per epoch.
+        local_rows = self._process_local_rows()
 
         def ship(batch: DetectionBatch, stacked: bool) -> DetectionBatch:
             """H2D in the producer thread: jax.device_put is async, so the
@@ -293,7 +341,8 @@ class DetectionLoader:
             (the trainer's explicit in_shardings then see already-committed
             arrays and skip a second copy). Fields not named in `shardings`
             stay host-side numpy when a shardings map is given (train
-            consumes only 4 of the 7)."""
+            consumes only 4 of the 7); in multi-host runs those host-side
+            fields hold ONLY this process's rows."""
             if not (self.device_put or self.shardings):
                 return batch
             import jax
@@ -310,6 +359,17 @@ class DetectionLoader:
 
                         # super-batch: batch axis moved to dim 1
                         s = NamedSharding(s.mesh, PartitionSpec(None, *s.spec))
+                    if local_rows is not None:
+                        # global array from per-process shards; the local
+                        # rows are in global order (see _process_local_rows)
+                        gshape = (
+                            (val.shape[0], self.batch_size) + val.shape[2:]
+                            if stacked
+                            else (self.batch_size,) + val.shape[1:]
+                        )
+                        return jax.make_array_from_process_local_data(
+                            s, val, gshape
+                        )
                     return jax.device_put(val, s)
                 return jax.device_put(val)
 
@@ -335,7 +395,7 @@ class DetectionLoader:
                 for idxs in self._batches_of_indices():
                     if stop.is_set():
                         return
-                    batch = self._assemble(idxs)
+                    batch = self._assemble(idxs, rows=local_rows)
                     if self.stack_batches > 1:
                         group.append(batch)
                         if len(group) == self.stack_batches:

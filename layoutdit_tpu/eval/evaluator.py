@@ -80,6 +80,19 @@ class Evaluator:
 
         cfg = model.cfg
         shardings = {}
+        if mesh is not None and jax.process_count() > 1:
+            # Multi-host: the eval loader feeds host-side numpy of the
+            # full split and detections gather host-side — a mesh that
+            # spans processes cannot receive those arrays (non-addressable
+            # devices). Every host evaluates the full split on its local
+            # devices instead: redundant but correct, and metrics agree
+            # on all hosts by construction.
+            logger.warning(
+                "Data-parallel eval is single-controller only; evaluating "
+                "the full split locally on each of the %d processes",
+                jax.process_count(),
+            )
+            mesh = None
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
             from layoutdit_tpu.parallel.mesh import batch_sharding
 
@@ -171,6 +184,11 @@ class Evaluator:
         return metrics
 
     def _save_predictions_json(self, all_predictions):
+        if jax.process_index() != 0:
+            # multi-host: every host computes the same full-split
+            # predictions (see the mesh fallback in __init__); only the
+            # lead host persists them
+            return
         with self.fs_open(self.predictions_path, "w", auto_mkdir=True) as f:
             json.dump(all_predictions, f)
         logger.info(
@@ -216,6 +234,8 @@ class Evaluator:
         """Draw top-k predictions (red) on up to num_images originals
         (reference :64-146). Reads back the predictions JSON like the
         reference does."""
+        if jax.process_index() != 0:
+            return  # lead host owns run artifacts (multi-host)
         with self.fs_open(self.predictions_path, "r") as f:
             all_preds = json.load(f)
         preds_by_image: dict[int, list] = {}
@@ -246,6 +266,8 @@ class Evaluator:
 
     def visualize_gt(self):
         """Draw ground-truth boxes (green) — reference :148-217."""
+        if jax.process_index() != 0:
+            return  # lead host owns run artifacts (multi-host)
         gt_by_image: dict[int, list] = {}
         for ann in self.coco_data["annotations"]:
             gt_by_image.setdefault(ann["image_id"], []).append(ann)

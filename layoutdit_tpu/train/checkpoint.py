@@ -54,7 +54,16 @@ def save_checkpoint(
     epoch: int = 0,
     extra: Optional[dict] = None,
 ) -> None:
-    _write_payload(path, _build_payload(params, opt_state, epoch, extra))
+    """Full-state msgpack checkpoint. Multi-host: state on this path is
+    replicated (non-trivially sharded state goes through the orbax path,
+    models/model.py), so process 0 writes and everyone barriers — two
+    hosts writing one object-store path would race."""
+    if jax.process_index() == 0:
+        _write_payload(path, _build_payload(params, opt_state, epoch, extra))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("layoutdit_ckpt_full")
 
 
 class AsyncCheckpointWriter:
@@ -86,6 +95,11 @@ class AsyncCheckpointWriter:
         epoch: int = 0,
         extra: Optional[dict] = None,
     ) -> None:
+        if jax.process_index() != 0:
+            # replicated state: the lead host's writer persists it (same
+            # ownership rule as the synchronous path); no barrier here —
+            # durability is settled at close()
+            return
         self.wait()  # ≤1 in flight; re-raise a failed previous write
         payload = _build_payload(
             params, opt_state, epoch, extra,

@@ -546,7 +546,7 @@ class Trainer:
 
             writer = AsyncCheckpointWriter()
         tb = None
-        if train_cfg.tensorboard:
+        if train_cfg.tensorboard and self._is_lead_host():
             from layoutdit_tpu.utils.tensorboard import TensorBoardWriter
 
             tb = TensorBoardWriter(
@@ -696,8 +696,19 @@ class Trainer:
     def _artifact_base(self) -> str:
         return self.config.eval_config.eval_base_path or "."
 
+    @staticmethod
+    def _is_lead_host() -> bool:
+        """Run artifacts (loss PNG, metrics.jsonl, TensorBoard, traces)
+        are written by process 0 only: every host computes identical
+        replicated values, and concurrent writers to one object-store
+        path would race. Checkpointing has its own per-shard ownership
+        logic (train/checkpoint.py)."""
+        return jax.process_index() == 0
+
     def _save_loss(self):
         """Loss-curve PNG (reference trainer.py:217-230)."""
+        if not self._is_lead_host():
+            return
         import matplotlib
 
         matplotlib.use("Agg")
@@ -725,7 +736,7 @@ class Trainer:
         never loses the run's history."""
         import json
 
-        if not self.metrics_history:
+        if not self.metrics_history or not self._is_lead_host():
             return
         path = (
             f"{self._artifact_base()}/{self.config.run_name}"
@@ -740,6 +751,8 @@ class Trainer:
     def _save_traces(self, run_name: str):
         """Upload profiler traces (reference trainer.py:232-257), keeping
         relative paths."""
+        if not self._is_lead_host():
+            return
         import fsspec
 
         local_root = self.trace_log_dir.rstrip("/")

@@ -290,3 +290,31 @@ def test_loader_hflip_augmentation(fixture_dataset):
         not np.array_equal(a.images[i], plain.images[i]) for i in range(5)
     ]
     assert any(flips) and not all(flips)
+
+
+def test_assemble_row_subset_matches_full_batch(fixture_dataset):
+    """Multi-host decode path: _assemble(rows=...) must return exactly
+    those rows of the full global batch (per-field), including padding
+    semantics for global slots past the epoch remainder — the contract
+    jax.make_array_from_process_local_data relies on (each process
+    assembles only the rows its devices own, in global order)."""
+    loader = DetectionLoader(
+        fixture_dataset, batch_size=4, shuffle=False, device_put=False,
+        image_size=64, augment_hflip=0.5, seed=11,
+    )
+    idxs = list(range(4))
+    full = loader._assemble(idxs)
+    for rows in ([0, 1], [2, 3], [1, 3], [0, 1, 2, 3]):
+        part = loader._assemble(idxs, rows=rows)
+        assert part.images.shape[0] == len(rows)
+        for f in full.__dataclass_fields__:
+            np.testing.assert_array_equal(
+                getattr(part, f), getattr(full, f)[rows], err_msg=f
+            )
+    # epoch remainder: global batch of 3 examples in a batch_size-4 layout;
+    # the process owning rows [2, 3] gets one real row + one padding row
+    rem = loader._assemble(list(range(3)), rows=[2, 3])
+    assert rem.image_valid.tolist() == [True, False]
+    assert not rem.gt_valid[1].any()
+    full_rem = loader._assemble(list(range(3)))
+    np.testing.assert_array_equal(rem.images, full_rem.images[2:4])

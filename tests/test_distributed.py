@@ -243,3 +243,294 @@ def test_two_process_real_detector_step_and_orbax_roundtrip(tmp_path):
     # updated-params checksum on both processes
     np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
     assert ckpt == {0: (1, 1), 1: (1, 1)}, outs
+
+
+_WORKER_LOADER = r"""
+import os, sys
+os.environ.pop("JAX_PLATFORMS", None)
+tp = int(sys.argv[5])
+if tp > 1:
+    # tp>1: give each process tp virtual CPU devices so the mesh is
+    # dp=2 (across processes) x tp (within) — the loader's row map must
+    # dedupe the model-axis replicas (must run before backend init)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={tp}"
+    ).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+pid = int(sys.argv[1]); port = sys.argv[2]; fixture = sys.argv[3]
+from layoutdit_tpu.config.constructs import DetectionBudget, MeshConfig
+from layoutdit_tpu.parallel.mesh import (
+    batch_sharding, build_mesh, maybe_distributed_init, replicated_sharding,
+)
+
+maybe_distributed_init(MeshConfig(
+    enable_distributed_init=True, coordinator_address=f"localhost:{port}",
+    num_processes=2, process_id=pid,
+))
+mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=tp))
+rs, bs = replicated_sharding(mesh), batch_sharding(mesh)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from layoutdit_tpu.data.dataset import PubLayNetDataset
+from layoutdit_tpu.data.pipeline import DetectionLoader
+from layoutdit_tpu.models.backbone import BackboneConfig
+from layoutdit_tpu.models.detection.detector import (
+    DetectorConfig, detector_loss, init_detector_params,
+)
+from layoutdit_tpu.models.vit import ViTConfig
+
+ds = PubLayNetDataset(
+    images_root_dir=os.path.join(fixture, "samples"),
+    annotations_json_path=os.path.join(fixture, "samples.json"),
+)
+loader = DetectionLoader(
+    ds, batch_size=4, shuffle=True, seed=5, num_workers=1, image_size=64,
+    max_gt=16, drop_last=True, use_native=False,
+    shardings={f: bs for f in ("images", "gt_boxes", "gt_labels", "gt_valid")},
+)
+batch = next(iter(loader))
+# device fields are GLOBAL arrays (full batch shape) assembled from
+# per-process shards; host metadata holds only this process's rows
+assert batch.images.shape == (4, 3, 64, 64), batch.images.shape
+assert batch.gt_boxes.shape[0] == 4
+assert len(batch.image_ids) == 2, batch.image_ids
+assert not isinstance(batch.images, np.ndarray)
+
+tiny = ViTConfig(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                 intermediate_size=64, image_size=64)
+budget = DetectionBudget(
+    rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=64,
+    rpn_batch_size_per_image=32, box_batch_size_per_image=16,
+)
+dcfg = DetectorConfig(backbone=BackboneConfig(vit=tiny, fpn_out_channels=32),
+                      image_size=64, budget=budget)
+params = jax.device_put(init_detector_params(jax.random.PRNGKey(0), dcfg), rs)
+opt = optax.adamw(1e-3)
+opt_state = jax.device_put(opt.init(params), rs)
+
+@jax.jit
+def step(params, opt_state, im, gb, gl, gv):
+    def total(p):
+        losses = detector_loss(p, jax.random.PRNGKey(1), im, gb, gl, gv, dcfg)
+        return sum(losses.values())
+    loss, g = jax.value_and_grad(total)(params)
+    upd, opt_state = opt.update(g, opt_state, params)
+    return loss, optax.apply_updates(params, upd), opt_state
+
+loss, params, opt_state = step(
+    params, opt_state, batch.images, batch.gt_boxes, batch.gt_labels,
+    batch.gt_valid,
+)
+leaves = jax.tree_util.tree_leaves(params)
+checksum = float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
+print("RESULT", pid, float(loss), checksum, flush=True)
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tp", [1, 2])
+def test_two_process_loader_feeds_global_batch(tmp_path, tp):
+    """The PRODUCTION data path is multi-host capable: each process
+    decodes only the batch rows its devices own (deterministic global
+    order from (seed, epoch)), the loader assembles the global array via
+    make_array_from_process_local_data, and a real detector step over
+    the process-spanning dp=2 mesh matches a single-process run on the
+    same global batch. tp=2 adds a model axis (2 virtual devices per
+    process) so the row map must dedupe model-axis replicas. The
+    reference has no distributed loading at all (torch DataLoader,
+    trainer.py:54-60)."""
+    from layoutdit_tpu.tools.make_fixture import make_fixture
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    worker = tmp_path / "worker_loader.py"
+    worker.write_text(_WORKER_LOADER)
+    cache = os.path.join(REPO, ".jax_cache")
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path),
+             cache, str(tp)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, *vals = line.split()
+                results[int(pid)] = [float(v) for v in vals]
+    assert set(results) == {0, 1}, outs
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+    # single-process oracle over the SAME global batch (same loader
+    # seed => same (seed, epoch)-deterministic order), same step
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from layoutdit_tpu.config.constructs import DetectionBudget
+    from layoutdit_tpu.data.dataset import PubLayNetDataset
+    from layoutdit_tpu.data.pipeline import DetectionLoader
+    from layoutdit_tpu.models.backbone import BackboneConfig
+    from layoutdit_tpu.models.detection.detector import (
+        DetectorConfig,
+        detector_loss,
+        init_detector_params,
+    )
+    from layoutdit_tpu.models.vit import ViTConfig
+
+    ds = PubLayNetDataset(
+        images_root_dir=str(tmp_path / "samples"),
+        annotations_json_path=str(tmp_path / "samples.json"),
+    )
+    loader = DetectionLoader(
+        ds, batch_size=4, shuffle=True, seed=5, num_workers=1,
+        image_size=64, max_gt=16, drop_last=True, use_native=False,
+        device_put=False,
+    )
+    batch = next(iter(loader))
+    tiny = ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=64,
+    )
+    budget = DetectionBudget(
+        rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=64,
+        rpn_batch_size_per_image=32, box_batch_size_per_image=16,
+    )
+    dcfg = DetectorConfig(
+        backbone=BackboneConfig(vit=tiny, fpn_out_channels=32),
+        image_size=64, budget=budget,
+    )
+    params = init_detector_params(jax.random.PRNGKey(0), dcfg)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, im, gb, gl, gv):
+        def total(p):
+            return sum(
+                detector_loss(
+                    p, jax.random.PRNGKey(1), im, gb, gl, gv, dcfg
+                ).values()
+            )
+
+        loss, g = jax.value_and_grad(total)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return loss, optax.apply_updates(params, upd), opt_state
+
+    loss, params, _ = step(
+        params, opt_state, batch.images, batch.gt_boxes, batch.gt_labels,
+        batch.gt_valid,
+    )
+    checksum = float(
+        sum(
+            jnp.sum(jnp.abs(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(params)
+        )
+    )
+    np.testing.assert_allclose(results[0], [float(loss), checksum], rtol=1e-5)
+
+
+_WORKER_TRAINER = r"""
+import os, sys, json
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+pid = int(sys.argv[1]); port = sys.argv[2]; fixture = sys.argv[3]
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.config.constructs import MeshConfig
+
+cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture, "cfg.json"))))
+cfg.mesh_config = MeshConfig(
+    enable_distributed_init=True, coordinator_address=f"localhost:{port}",
+    num_processes=2, process_id=pid, data_parallel=2,
+)
+cfg.train_config.steps_per_dispatch = 1
+set_layout_dit_config(cfg)
+from layoutdit_tpu.models.model import build_model
+from layoutdit_tpu.train.trainer import Trainer
+
+model = build_model(cfg)
+trainer = Trainer(cfg, model)
+trainer.train()
+
+import jax.numpy as jnp
+leaves = jax.tree_util.tree_leaves(model.params)
+checksum = float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
+print("RESULT", pid, checksum,
+      *[f"{l:.6f}" for l in trainer.loss_history], flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_full_trainer_e2e(tmp_path):
+    """The whole production train path across 2 processes: config ->
+    build_model -> Trainer.train() on a dp=2 mesh spanning both, real
+    DetectionLoader feeding per-process shards. Both processes must see
+    identical loss history and params; run artifacts (checkpoint,
+    metrics.jsonl, loss PNG) must be written exactly once (lead host)."""
+    import glob
+
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=4,
+                         tiny_model=True)
+    worker = tmp_path / "worker_trainer.py"
+    worker.write_text(_WORKER_TRAINER)
+    cache = os.path.join(REPO, ".jax_cache")
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path),
+             cache],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, *vals = line.split()
+                results[int(pid)] = [float(v) for v in vals]
+    assert set(results) == {0, 1}, outs
+    assert len(results[0]) >= 2  # checksum + >=1 epoch loss
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+    # artifacts written exactly once, by the lead host
+    ckpts = glob.glob(str(tmp_path / "fixture" / "model_checkpoints" / "*"))
+    assert len(ckpts) == 1 and ckpts[0].endswith("epoch_1.msgpack"), ckpts
+    assert (tmp_path / "fixture" / "metrics" / "metrics.jsonl").exists()
+    assert (tmp_path / "fixture" / "loss_history" / "loss_curve.png").exists()
