@@ -80,21 +80,12 @@ class Evaluator:
 
         cfg = model.cfg
         shardings = {}
-        if mesh is not None and jax.process_count() > 1:
-            # Multi-host: the eval loader feeds host-side numpy of the
-            # full split and detections gather host-side — a mesh that
-            # spans processes cannot receive those arrays (non-addressable
-            # devices). Every host evaluates the full split on its local
-            # devices instead: redundant but correct, and metrics agree
-            # on all hosts by construction.
-            logger.warning(
-                "Data-parallel eval is single-controller only; evaluating "
-                "the full split locally on each of the %d processes",
-                jax.process_count(),
-            )
-            mesh = None
+        self._multihost_eval = False
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
-            from layoutdit_tpu.parallel.mesh import batch_sharding
+            from layoutdit_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
 
             data = batch_sharding(mesh)
             if self.dataloader.batch_size % mesh.shape[mesh.axis_names[0]]:
@@ -103,14 +94,44 @@ class Evaluator:
                     "falling back to single-device eval",
                     self.dataloader.batch_size, dict(mesh.shape),
                 )
+                mesh = None
+            elif jax.process_count() > 1:
+                # Multi-host DP eval: each host's loader decodes only its
+                # owned rows (DetectionLoader multi-host path), batches
+                # shard over 'data', and detections + the image metadata
+                # come back REPLICATED (out_shardings) — the all-gather
+                # rides ICI/DCN inside jit, so every host scores the full
+                # split's detections without ever holding the full image
+                # batch.
+                rep = replicated_sharding(mesh)
+                self.dataloader.shardings = {
+                    f: data
+                    for f in (
+                        "images", "orig_sizes", "image_ids", "image_valid",
+                    )
+                }
+                self._predict = jax.jit(
+                    lambda p, imgs, sizes, ids, ivalid: (
+                        rescale_detections(
+                            detector_predict(p, imgs, cfg), sizes,
+                            cfg.image_size,
+                        ),
+                        ids,
+                        ivalid,
+                    ),
+                    in_shardings=(None, data, data, data, data),
+                    out_shardings=(rep, rep, rep),
+                )
+                self._multihost_eval = True
             else:
                 shardings = {"in_shardings": (None, data, data)}
-        self._predict = jax.jit(
-            lambda p, imgs, sizes: rescale_detections(
-                detector_predict(p, imgs, cfg), sizes, cfg.image_size
-            ),
-            **shardings,
-        )
+        if not self._multihost_eval:
+            self._predict = jax.jit(
+                lambda p, imgs, sizes: rescale_detections(
+                    detector_predict(p, imgs, cfg), sizes, cfg.image_size
+                ),
+                **shardings,
+            )
         logger.debug("Successfully initialized evaluator")
 
     def _build_eval_dataloader(self) -> DetectionLoader:
@@ -139,7 +160,19 @@ class Evaluator:
         (reference :219-286)."""
         all_predictions: list[dict] = []
         for batch in self.dataloader:
-            dets = self._predict(self.model.params, batch.images, batch.orig_sizes)
+            if self._multihost_eval:
+                dets, ids, ivalid = self._predict(
+                    self.model.params, batch.images, batch.orig_sizes,
+                    batch.image_ids, batch.image_valid,
+                )
+                ids = np.asarray(ids)
+                ivalid = np.asarray(ivalid, bool)
+            else:
+                dets = self._predict(
+                    self.model.params, batch.images, batch.orig_sizes
+                )
+                ids = np.asarray(batch.image_ids)
+                ivalid = np.asarray(batch.image_valid, bool)
             boxes = np.asarray(dets.boxes)
             scores = np.asarray(dets.scores)
             labels = np.asarray(dets.labels)
@@ -148,14 +181,14 @@ class Evaluator:
                 valid &= scores > 0
             # vectorized flatten: one numpy pass per batch, python only
             # over the (already thresholded) kept detections
-            keep = valid & np.asarray(batch.image_valid, bool)[:, None]
+            keep = valid & ivalid[:, None]
             img_idx, det_idx = np.nonzero(keep)
             kb = boxes[img_idx, det_idx].astype(np.float64)
             xywh = np.stack(
                 [kb[:, 0], kb[:, 1], kb[:, 2] - kb[:, 0], kb[:, 3] - kb[:, 1]],
                 axis=1,
             )
-            kids = np.asarray(batch.image_ids)[img_idx]
+            kids = ids[img_idx]
             ks = scores[img_idx, det_idx]
             kc = labels[img_idx, det_idx]
             all_predictions.extend(
@@ -185,9 +218,9 @@ class Evaluator:
 
     def _save_predictions_json(self, all_predictions):
         if jax.process_index() != 0:
-            # multi-host: every host computes the same full-split
-            # predictions (see the mesh fallback in __init__); only the
-            # lead host persists them
+            # multi-host: every host holds the same full-split predictions
+            # (replicated out_shardings in the DP-eval path, or redundant
+            # local eval without a mesh); only the lead host persists them
             return
         with self.fs_open(self.predictions_path, "w", auto_mkdir=True) as f:
             json.dump(all_predictions, f)

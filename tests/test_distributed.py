@@ -534,3 +534,102 @@ def test_two_process_full_trainer_e2e(tmp_path):
     assert len(ckpts) == 1 and ckpts[0].endswith("epoch_1.msgpack"), ckpts
     assert (tmp_path / "fixture" / "metrics" / "metrics.jsonl").exists()
     assert (tmp_path / "fixture" / "loss_history" / "loss_curve.png").exists()
+
+
+_WORKER_EVAL = r"""
+import os, sys, json
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+pid = int(sys.argv[1]); port = sys.argv[2]; fixture = sys.argv[3]
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+from layoutdit_tpu.config.constructs import MeshConfig
+from layoutdit_tpu.parallel.mesh import build_mesh, maybe_distributed_init
+
+maybe_distributed_init(MeshConfig(
+    enable_distributed_init=True, coordinator_address=f"localhost:{port}",
+    num_processes=2, process_id=pid,
+))
+mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=1))
+
+cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture, "cfg.json"))))
+set_layout_dit_config(cfg)
+from layoutdit_tpu.eval.evaluator import Evaluator
+from layoutdit_tpu.models.model import build_model
+
+model = build_model(cfg)  # deterministic init (seeded) on both processes
+ev = Evaluator(model=model, layout_dit_config=cfg, mesh=mesh)
+assert ev._multihost_eval
+metrics = ev.score()
+assert metrics is not None
+print("METRICS", pid, json.dumps(metrics), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_dp_eval_matches_single_process(tmp_path):
+    """True multi-host data-parallel eval: each host decodes only its
+    rows, detections come back replicated via out_shardings, and the
+    full-split COCO metrics agree across hosts AND with a single-process
+    Evaluator on the same fixture and params."""
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=4,
+                         tiny_model=True)
+    worker = tmp_path / "worker_eval.py"
+    worker.write_text(_WORKER_EVAL)
+    cache = os.path.join(REPO, ".jax_cache")
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path),
+             cache],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    import json as _json
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("METRICS"):
+                _, pid, payload = line.split(" ", 2)
+                results[int(pid)] = _json.loads(payload)
+    assert set(results) == {0, 1}, outs
+    assert results[0] == results[1]
+
+    # single-process oracle: same fixture, same seeded init
+    import json
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.eval.evaluator import Evaluator
+    from layoutdit_tpu.models.model import build_model
+
+    cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        ev = Evaluator(model=model, layout_dit_config=cfg)
+        oracle = ev.score()
+    finally:
+        set_layout_dit_config(None)
+    assert oracle is not None
+    for k, v in oracle.items():
+        np.testing.assert_allclose(results[0][k], v, atol=1e-6, err_msg=k)
