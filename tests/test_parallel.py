@@ -358,3 +358,45 @@ def test_box_head_tensor_parallel_specs_and_parity():
         in_shardings=(None, data, data, data, data),
     )(sharded, images, gt_boxes, gt_labels, gt_valid)
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+
+
+def test_sharded_checkpoint_cross_topology_restore(tmp_path):
+    """Elastic resume: a per-shard checkpoint saved under one mesh layout
+    must restore into a DIFFERENT topology (re-sharded on read) and onto
+    a single device — preempted pods come back in new shapes, and the
+    checkpoint must not pin the original layout. Reference has no resume
+    at all (SURVEY.md #13)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from layoutdit_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    mesh_a = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    col_a = NamedSharding(mesh_a, P(None, "model"))
+    w = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16)
+    params = {"w": jax.device_put(w, col_a)}
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint_sharded(path, params, epoch=1)
+
+    # (a) wider model axis: 4x2 -> 2x4, shard size 16/2 -> 16/4
+    mesh_b = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    col_b = NamedSharding(mesh_b, P(None, "model"))
+    tmpl_b = {"w": jax.device_put(jnp.zeros_like(w), col_b)}
+    state = load_checkpoint_sharded(path, tmpl_b)
+    assert state["params"]["w"].sharding == col_b
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w)
+
+    # (b) FSDP-style row sharding over 'data'
+    row_b = NamedSharding(mesh_b, P("data", None))
+    tmpl_r = {"w": jax.device_put(jnp.zeros_like(w), row_b)}
+    state = load_checkpoint_sharded(path, tmpl_r)
+    assert state["params"]["w"].sharding == row_b
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w)
+
+    # (c) single device (no mesh at all)
+    tmpl_1 = {"w": jnp.zeros_like(w)}
+    state = load_checkpoint_sharded(path, tmpl_1)
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w)
