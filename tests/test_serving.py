@@ -211,3 +211,47 @@ def test_serving_corrupt_page(tiny_model):
     ).predict_pages([good, b"\xff\xd8not-a-real-jpeg"])
     assert len(results) == 2
     assert len(results[1].boxes) == 0  # corrupt slot: no detections
+
+
+def test_serving_mesh_tensor_parallel(tiny_model):
+    """Tensor-parallel serving: a mesh with a 'model' axis shards the
+    weights Megatron-style (encoder + box head) and batches over 'data'
+    only — detections must match the single-device engine exactly.
+    int8 + TP is rejected loudly."""
+    from jax.sharding import Mesh
+
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(7)
+    pages = [rng.uniform(0, 255, (60, 44 + i, 3)).astype(np.float32)
+             for i in range(9)]
+    ref = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=8, score_thresh=0.0
+    ).predict_pages(pages)
+    eng = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=8, score_thresh=0.0,
+        mesh=mesh,
+    )
+    # params really are sharded over 'model'
+    import jax as _jax
+
+    specs = {
+        k.sharding.spec
+        for k in _jax.tree_util.tree_leaves(eng.params)
+        if hasattr(k, "sharding")
+    }
+    assert any("model" in str(s) for s in specs), specs
+    got = eng.predict_pages(pages)
+    assert len(got) == len(ref) == 9
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.boxes, r.boxes, atol=1e-4)
+        np.testing.assert_array_equal(g.labels, r.labels)
+
+    # batch must divide the data section (4), not the whole mesh (8)
+    BatchInferenceEngine(tiny_model, batch_size=4, image_sizes=(64,),
+                         mesh=mesh)
+    with pytest.raises(ValueError):
+        BatchInferenceEngine(tiny_model, batch_size=6, mesh=mesh)
+    with pytest.raises(ValueError, match="int8"):
+        BatchInferenceEngine(tiny_model, batch_size=8, mesh=mesh, int8=True)
