@@ -304,16 +304,19 @@ def _decodable(page: bytes) -> bool:
 def make_server(model, host: str, port: int, *, image_sizes=(224,),
                 batch_size: int = 8, score_thresh: float = 0.05,
                 flush_ms: float = 5.0, max_batch: int | None = None,
-                int8: bool = False, dataset: str | None = None):
+                int8: bool = False, dataset: str | None = None,
+                mesh=None):
     """(ThreadingHTTPServer, DynamicBatcher) — batcher already started.
-    Split from main() so tests can run the server in-process."""
+    Split from main() so tests can run the server in-process. ``mesh``:
+    optional jax.sharding.Mesh — dp serving, or tensor-parallel when the
+    mesh has a 'model' axis (eval/serving.py)."""
     from layoutdit_tpu.config import get_layout_dit_config
     from layoutdit_tpu.eval.serving import BatchInferenceEngine
     from layoutdit_tpu.tools.predict import _label_names
 
     engine = BatchInferenceEngine(
         model, image_sizes=tuple(image_sizes), batch_size=batch_size,
-        score_thresh=score_thresh, int8=int8,
+        score_thresh=score_thresh, int8=int8, mesh=mesh,
     )
     config = get_layout_dit_config()
     n_classes = config.detection_model_config.num_classes
@@ -357,6 +360,13 @@ def main(argv=None) -> None:
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--dataset", default=None,
                         choices=["publaynet", "doclaynet", "docbank"])
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="serve over a device mesh: data-parallel "
+                             "ways (-1 = all remaining devices; 0 = no "
+                             "mesh)")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="tensor-parallel ways (shards the weights "
+                             "over a 'model' mesh axis)")
     args = parser.parse_args(argv)
 
     os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
@@ -367,11 +377,22 @@ def main(argv=None) -> None:
     model = build_model(config)
     model.restore_checkpoint(args.checkpoint)
 
+    mesh = None
+    if args.data_parallel or args.model_parallel > 1:
+        from layoutdit_tpu.config.constructs import MeshConfig
+        from layoutdit_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh(MeshConfig(
+            data_parallel=args.data_parallel or -1,
+            model_parallel=args.model_parallel,
+        ))
+        logger.info("Serving over mesh %s", mesh)
+
     httpd, batcher = make_server(
         model, args.host, args.port, image_sizes=args.sizes,
         batch_size=args.batch_size, score_thresh=args.score_thresh,
         flush_ms=args.flush_ms, max_batch=args.max_batch, int8=args.int8,
-        dataset=args.dataset,
+        dataset=args.dataset, mesh=mesh,
     )
     # graceful preemption: SIGTERM (TPU-VM/GKE preemption signal) stops
     # accepting, lets in-flight requests finish, drains the batcher —

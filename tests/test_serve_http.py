@@ -237,3 +237,51 @@ def test_sigterm_graceful_shutdown(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_server_over_tensor_parallel_mesh(tmp_path):
+    """The HTTP server composes with tensor-parallel serving: a dp x tp
+    mesh behind make_server answers /predict with the same detections as
+    a mesh-less server (CLI flags --data-parallel/--model-parallel)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=2, split="samples", seed=9)
+    write_fixture_config(root, epochs=1, batch_size=2, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        page = open(
+            sorted(
+                os.path.join(root, "samples", f)
+                for f in os.listdir(os.path.join(root, "samples"))
+                if f.endswith(".jpg")
+            )[0],
+            "rb",
+        ).read()
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2)[0],
+                    ("data", "model"))
+        recs = {}
+        for key, m in (("plain", None), ("tp", mesh)):
+            httpd, batcher = make_server(
+                model, "127.0.0.1", 0, image_sizes=(64,), batch_size=2,
+                score_thresh=0.0, flush_ms=5.0, mesh=m,
+            )
+            thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+            thread.start()
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            try:
+                recs[key] = _post(url, page)
+            finally:
+                httpd.shutdown()
+                batcher.stop()
+        assert recs["plain"]["labels"] == recs["tp"]["labels"]
+        np.testing.assert_allclose(
+            recs["plain"]["boxes"], recs["tp"]["boxes"], atol=1e-4
+        )
+    finally:
+        set_layout_dit_config(None)
