@@ -30,7 +30,10 @@ def main() -> None:
         help="Read config from gs://layoutdit/layout_dit_config.json",
     )
     parser.add_argument(
-        "--resume", default=None, help="Checkpoint path to resume from"
+        "--resume", default=None,
+        help="Checkpoint path to resume from, or 'auto' to pick the "
+             "newest checkpoint in the run directory (starts fresh when "
+             "none exists — safe in preemption restart loops)"
     )
     parser.add_argument(
         "--skip-train", action="store_true", help="Evaluate only"

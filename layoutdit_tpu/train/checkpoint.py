@@ -305,3 +305,38 @@ def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
         deleted.append(n)
         logger.info("Pruned checkpoint %s (keep_checkpoints=%d)", n, keep)
     return deleted
+
+
+def find_latest_checkpoint(root: str) -> Optional[str]:
+    """Newest resumable checkpoint under ``root`` (a model_checkpoints
+    directory): periodic ``epoch_<n>.{msgpack,orbax}`` and preemption
+    ``epoch_<n>_preempt.*`` saves, ordered by (epoch, preempt-after-
+    periodic) — a preempt save at epoch N carries extra mid-epoch steps,
+    so it outranks the periodic save of the same epoch. Rolling
+    ``best.*`` saves are skipped (they track eval quality, not training
+    progress). Returns None when the directory is absent or empty, so
+    preemption restart loops can pass ``--resume auto`` unconditionally
+    — first run starts fresh, every restart resumes.
+    """
+    import re
+
+    import fsspec
+
+    fs, rootp = fsspec.core.url_to_fs(root)
+    try:
+        names = fs.ls(rootp, detail=False)
+    except FileNotFoundError:
+        return None
+    pat = re.compile(r"epoch_(\d+)(_preempt)?\.(msgpack|orbax)$")
+    found = [
+        (int(m.group(1)), 1 if m.group(2) else 0, n)
+        for n in names
+        for m in [pat.search(n)]
+        if m
+    ]
+    if not found:
+        return None
+    best = max(found)[2]
+    if fs.protocol in ("file", ("file", "local"), "local"):
+        return best  # keep plain POSIX paths plain
+    return fs.unstrip_protocol(best)

@@ -644,11 +644,30 @@ class Trainer:
 
     def resume(self, checkpoint_path: str):
         """True resume: params + optimizer + epoch (absent in the
-        reference — SURVEY.md §5)."""
+        reference — SURVEY.md §5). ``"auto"`` resolves to the newest
+        periodic/preempt checkpoint in this run's directory, or starts
+        fresh when there is none — preemption restart loops pass it
+        unconditionally."""
         from layoutdit_tpu.train.checkpoint import (
+            find_latest_checkpoint,
             load_checkpoint,
             load_checkpoint_sharded,
         )
+
+        if checkpoint_path == "auto":
+            root = (
+                f"{self._artifact_base()}/{self.config.run_name}"
+                "/model_checkpoints"
+            )
+            found = find_latest_checkpoint(root)
+            if found is None:
+                logger.info(
+                    "--resume auto: no checkpoint under %s; starting fresh",
+                    root,
+                )
+                return
+            logger.info("--resume auto: resuming from %s", found)
+            checkpoint_path = found
 
         loader = (
             load_checkpoint_sharded

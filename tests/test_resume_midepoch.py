@@ -176,3 +176,63 @@ def test_resume_keeps_metrics_history(tmp_path):
         assert [r["epoch"] for r in recs] == epochs
     finally:
         set_layout_dit_config(None)
+
+
+def test_find_latest_checkpoint_ordering(tmp_path):
+    from layoutdit_tpu.train.checkpoint import find_latest_checkpoint
+
+    assert find_latest_checkpoint(str(tmp_path / "missing")) is None
+    d = tmp_path / "ck"
+    d.mkdir()
+    assert find_latest_checkpoint(str(d)) is None
+    for n in ("epoch_2.msgpack", "epoch_10.msgpack", "best.msgpack",
+              "best.orbax"):
+        (d / n).touch()
+    # numeric (not lexicographic) epoch order; rolling best excluded
+    assert find_latest_checkpoint(str(d)).endswith("epoch_10.msgpack")
+    # a preempt save at the same epoch carries extra mid-epoch steps
+    (d / "epoch_10_preempt.msgpack").touch()
+    assert find_latest_checkpoint(str(d)).endswith("epoch_10_preempt.msgpack")
+    # orbax directories count too
+    (d / "epoch_11.orbax").mkdir()
+    assert find_latest_checkpoint(str(d)).endswith("epoch_11.orbax")
+
+
+def test_find_latest_checkpoint_keeps_remote_scheme():
+    import fsspec
+
+    from layoutdit_tpu.train.checkpoint import find_latest_checkpoint
+
+    fs = fsspec.filesystem("memory")
+    fs.mkdirs("/run/model_checkpoints", exist_ok=True)
+    fs.touch("/run/model_checkpoints/epoch_3.msgpack")
+    got = find_latest_checkpoint("memory://run/model_checkpoints")
+    assert got.startswith("memory://") and got.endswith("epoch_3.msgpack")
+    fs.rm("/run", recursive=True)
+
+
+def test_resume_auto_picks_latest_or_starts_fresh(tmp_path):
+    """--resume auto: restart loops pass it unconditionally — first run
+    starts fresh (no checkpoint yet), the restarted run picks the newest
+    save without knowing its path."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=21)
+    write_fixture_config(root, epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 1
+    set_layout_dit_config(cfg)
+    try:
+        fresh = Trainer(cfg, build_model(cfg))
+        fresh.resume("auto")  # nothing saved yet -> fresh start
+        assert fresh.epoch == 0
+        fresh.train()
+
+        restarted = Trainer(cfg, build_model(cfg))
+        restarted.resume("auto")
+        assert restarted.epoch == 2  # newest periodic save (epoch_2)
+        assert len(restarted.loss_history) == 2
+    finally:
+        set_layout_dit_config(None)
