@@ -106,6 +106,17 @@ class BatchInferenceEngine:
         self.mesh = mesh
         self.decode_workers = decode_workers
         self.max_in_flight = max(1, max_in_flight)
+        tp = 1
+        if mesh is not None and "model" in mesh.axis_names:
+            tp = int(mesh.shape["model"])
+        if int8 and tp > 1:
+            # checked BEFORE quantizing: the quantization pass is seconds
+            # of host work on a large model and would be thrown away
+            raise ValueError(
+                "int8 serving does not compose with tensor parallelism "
+                "(quantized params carry scales the TP layout does not "
+                "cover)"
+            )
         if int8:
             from layoutdit_tpu.ops.quant import quantize_detector_params
 
@@ -113,11 +124,6 @@ class BatchInferenceEngine:
         else:
             params = model.params
         if mesh is not None:
-            tp = (
-                int(mesh.shape["model"])
-                if "model" in mesh.axis_names
-                else 1
-            )
             if tp > 1:
                 # Tensor-parallel serving: params shard Megatron-style
                 # over 'model' (encoder qkv/mlp column/row + box-head
@@ -125,12 +131,6 @@ class BatchInferenceEngine:
                 # remaining axes. Cuts per-request latency for big
                 # models/resolutions (dit-large @ 1024 px) where dp over
                 # small batches leaves chips idle.
-                if int8:
-                    raise ValueError(
-                        "int8 serving does not compose with tensor "
-                        "parallelism (quantized params carry scales the "
-                        "TP layout does not cover)"
-                    )
                 from layoutdit_tpu.parallel.sharding import shard_params
 
                 data_axes = tuple(
