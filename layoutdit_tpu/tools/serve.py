@@ -379,13 +379,34 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.data_parallel or args.model_parallel > 1:
-        from layoutdit_tpu.config.constructs import MeshConfig
-        from layoutdit_tpu.parallel.mesh import build_mesh
+        # Build the mesh explicitly over a device prefix: the trainer's
+        # build_mesh falls back to Nx1 when dp*mp != device count, which
+        # would SILENTLY drop a requested tensor-parallel topology here.
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
 
-        mesh = build_mesh(MeshConfig(
-            data_parallel=args.data_parallel or -1,
-            model_parallel=args.model_parallel,
-        ))
+        devices = jax.devices()
+        mp = max(1, args.model_parallel)
+        dp = (
+            args.data_parallel
+            if args.data_parallel > 0
+            else max(1, len(devices) // mp)
+        )
+        need = dp * mp
+        if need > len(devices):
+            raise SystemExit(
+                f"requested data_parallel={dp} x model_parallel={mp} = "
+                f"{need} devices, but only {len(devices)} available"
+            )
+        mesh = Mesh(
+            np.asarray(devices[:need]).reshape(dp, mp), ("data", "model")
+        )
+        if need < len(devices):
+            logger.warning(
+                "serving uses %d of %d devices (dp=%d x mp=%d)",
+                need, len(devices), dp, mp,
+            )
         logger.info("Serving over mesh %s", mesh)
 
     httpd, batcher = make_server(
