@@ -265,32 +265,47 @@ def load_checkpoint_sharded(
     }
 
 
-def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
-    """Retention policy: keep the newest ``keep`` periodic checkpoints
-    (``epoch_<n>.msgpack`` / ``epoch_<n>.orbax``) under ``root``, delete
-    the rest. Tagged saves (``*_preempt``) and rolling ``best.*`` never
-    match the pattern and are never touched. ``current_epoch`` counts as
-    existing even if its (async) write is still in flight; a slower
-    in-flight write of an older epoch can resurface a pruned file until
-    the next cadence prunes it again. Returns the deleted paths.
-
-    The reference keeps every checkpoint forever (model.py:90-121) —
-    at PubLayNet scale that is ~1 GB per save.
-    """
+def _list_checkpoints(root: str):
+    """(fs, [(epoch, tag, path), ...]) for every epoch-named checkpoint
+    under ``root`` — the ONE place that parses checkpoint filenames
+    (``epoch_<n>[_tag].{msgpack,orbax}``; rolling ``best.*`` never
+    matches). Returns (fs, []) when the directory is absent."""
     import re
 
     import fsspec
 
-    if keep <= 0:
-        return []
     fs, rootp = fsspec.core.url_to_fs(root)
     try:
         names = fs.ls(rootp, detail=False)
     except FileNotFoundError:
+        return fs, []
+    pat = re.compile(r"epoch_(\d+)(?:_([a-z]+))?\.(msgpack|orbax)$")
+    return fs, [
+        (int(m.group(1)), m.group(2) or "", n)
+        for n in names
+        for m in [pat.search(n)]
+        if m
+    ]
+
+
+def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
+    """Retention policy: keep the newest ``keep`` periodic checkpoints
+    (``epoch_<n>.msgpack`` / ``epoch_<n>.orbax``) under ``root``, delete
+    the rest. Tagged saves (``*_preempt``) and rolling ``best.*`` are
+    never touched. ``current_epoch`` counts as existing even if its
+    (async) write is still in flight; a slower in-flight write of an
+    older epoch can resurface a pruned file until the next cadence prunes
+    it again. Returns the deleted paths. Multi-host: only the lead host
+    prunes (matching the lead-host-only msgpack writes; two hosts racing
+    fs.rm on one object-store path would crash the loser).
+
+    The reference keeps every checkpoint forever (model.py:90-121) —
+    at PubLayNet scale that is ~1 GB per save.
+    """
+    if keep <= 0 or jax.process_index() != 0:
         return []
-    pat = re.compile(r"epoch_(\d+)\.(msgpack|orbax)$")
-    found = [(int(m.group(1)), n) for n in names
-             for m in [pat.search(n)] if m]
+    fs, entries = _list_checkpoints(root)
+    found = [(e, n) for e, tag, n in entries if not tag]
     keep_set = set(sorted(
         {e for e, _ in found} | {current_epoch}, reverse=True
     )[:keep])
@@ -318,21 +333,11 @@ def find_latest_checkpoint(root: str) -> Optional[str]:
     preemption restart loops can pass ``--resume auto`` unconditionally
     — first run starts fresh, every restart resumes.
     """
-    import re
-
-    import fsspec
-
-    fs, rootp = fsspec.core.url_to_fs(root)
-    try:
-        names = fs.ls(rootp, detail=False)
-    except FileNotFoundError:
-        return None
-    pat = re.compile(r"epoch_(\d+)(_preempt)?\.(msgpack|orbax)$")
+    fs, entries = _list_checkpoints(root)
     found = [
-        (int(m.group(1)), 1 if m.group(2) else 0, n)
-        for n in names
-        for m in [pat.search(n)]
-        if m
+        (e, 1 if tag == "preempt" else 0, n)
+        for e, tag, n in entries
+        if tag in ("", "preempt")
     ]
     if not found:
         return None
