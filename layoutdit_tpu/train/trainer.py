@@ -660,6 +660,38 @@ class Trainer:
                 "/model_checkpoints"
             )
             found = find_latest_checkpoint(root)
+            if jax.process_count() > 1:
+                # Hosts must agree on the resume point BEFORE any host
+                # returns: checkpoints write from the lead host only, so
+                # a host-local artifact base leaves other hosts finding
+                # nothing — a mixed fresh/resumed start diverges step
+                # counts and deadlocks the first collective. Fail loudly
+                # instead.
+                import re
+
+                from jax.experimental import multihost_utils
+
+                sig = -1
+                if found is not None:
+                    m = re.search(r"epoch_(\d+)(_preempt)?\.", found)
+                    sig = (
+                        int(m.group(1)) * 2 + (1 if m.group(2) else 0)
+                        if m
+                        else -2
+                    )
+                sigs = np.asarray(
+                    multihost_utils.process_allgather(
+                        jnp.asarray([sig], jnp.int32)
+                    )
+                ).ravel().tolist()
+                if len(set(sigs)) > 1:
+                    raise RuntimeError(
+                        f"--resume auto: hosts found different newest "
+                        f"checkpoints under {root} (signatures {sigs}, "
+                        f"-1 = none). Multi-host runs need a SHARED "
+                        f"artifact base (e.g. gs://...) — checkpoints "
+                        f"write from the lead host only."
+                    )
             if found is None:
                 logger.info(
                     "--resume auto: no checkpoint under %s; starting fresh",
