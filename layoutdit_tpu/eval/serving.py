@@ -106,9 +106,15 @@ class BatchInferenceEngine:
         self.mesh = mesh
         self.decode_workers = decode_workers
         self.max_in_flight = max(1, max_in_flight)
-        tp = 1
-        if mesh is not None and "model" in mesh.axis_names:
-            tp = int(mesh.shape["model"])
+        # Resolve the TP axis the same way the sharding rules do
+        # (parallel/mesh.py::model_axis_name): by NAME when an axis is
+        # called 'model', else positionally. Engine and param specs
+        # disagreeing here silently served replicated weights on meshes
+        # like Mesh(devs, ('model',)).
+        from layoutdit_tpu.parallel.mesh import model_axis_name
+
+        model_axis = model_axis_name(mesh) if mesh is not None else None
+        tp = int(mesh.shape[model_axis]) if model_axis is not None else 1
         if int8 and tp > 1:
             # checked BEFORE quantizing: the quantization pass is seconds
             # of host work on a large model and would be thrown away
@@ -134,7 +140,7 @@ class BatchInferenceEngine:
                 from layoutdit_tpu.parallel.sharding import shard_params
 
                 data_axes = tuple(
-                    a for a in mesh.axis_names if a != "model"
+                    a for a in mesh.axis_names if a != model_axis
                 )
                 n_data = int(
                     np.prod([mesh.shape[a] for a in data_axes])

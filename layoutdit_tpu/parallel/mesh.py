@@ -59,16 +59,56 @@ def maybe_distributed_init(cfg: MeshConfig) -> None:
         logger.warning("jax.distributed.initialize failed: %s", e)
 
 
-def build_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:
+def is_lead_host() -> bool:
+    """Process 0 owns every shared-path artifact (msgpack checkpoints,
+    metrics, TensorBoard events, pruning): two hosts writing one
+    object-store path race, and fs.rm from both crashes the loser. The
+    ONE place the ownership rule lives — checkpointing, the trainer and
+    the evaluator all route through it."""
+    return jax.process_index() == 0
+
+
+def model_axis_name(mesh: Mesh) -> str | None:
+    """The tensor-parallel axis of ``mesh``: the axis NAMED 'model', or
+    None. Strictly by name — every sharding consumer (param specs, the
+    serving engine, sequence parallelism) resolves it through here, so a
+    name/position disagreement can no longer make the engine claim TP
+    while the specs replicate (Mesh(devs, ('model',))) or Megatron-shard
+    the wrong axis (Mesh(devs, ('model', 'data'))). Axes with other
+    names ('tp', 'pipe') deliberately do NOT trigger TP: a mesh without
+    a 'model' axis is pure data/pipeline parallelism."""
+    return "model" if "model" in mesh.axis_names else None
+
+
+def data_axis_name(mesh: Mesh) -> str | None:
+    """The batch-sharding axis: 'data' when present, else the first axis
+    that is not the model axis."""
+    model = model_axis_name(mesh)
+    if "data" in mesh.axis_names and "data" != model:
+        return "data"
+    return next((n for n in mesh.axis_names if n != model), None)
+
+
+def build_mesh(
+    cfg: MeshConfig, devices: list | None = None, strict: bool = False
+) -> Mesh:
     """Mesh over all devices: ('data', 'model') axes (+ a trailing 'pipe'
     axis when pipeline_parallel > 1); data axis takes the remainder when
-    data_parallel == -1."""
+    data_parallel == -1. ``strict=True`` raises instead of silently
+    falling back to Nx1 when the requested topology does not factor the
+    device count — callers that promised the user a specific tp/pp degree
+    (the serve CLI) must not quietly deliver a different one."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     pp = max(1, getattr(cfg, "pipeline_parallel", 1))
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // (mp * pp)
     if dp * mp * pp != n:
+        if strict:
+            raise ValueError(
+                f"mesh {dp}x{mp}x{pp} (data x model x pipe) needs "
+                f"{dp * mp * pp} devices, got {n}"
+            )
         logger.warning(
             "mesh %dx%dx%d != %d devices; falling back to %dx1",
             dp, mp, pp, n, n,
@@ -121,7 +161,7 @@ def sequence_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding | None:
     parallelism is on: tokens over the model axis. None when SP is off or
     there is no model axis to shard over (so callers can pass it straight
     to detector_loss/vit_forward's seq_sharding)."""
-    model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    model_axis = model_axis_name(mesh)
     if (
         not getattr(cfg, "sequence_parallel", False)
         or model_axis is None

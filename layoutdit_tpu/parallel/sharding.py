@@ -101,11 +101,13 @@ def detector_param_specs(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
     turns the use sites into all-gathers and the gradients into
     reduce-scatters — no hand-written collectives.
     """
-    model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    from layoutdit_tpu.parallel.mesh import data_axis_name, model_axis_name
+
+    model_axis = model_axis_name(mesh)
     tp = model_axis is not None and mesh.shape[model_axis] > 1
-    data_axis = mesh.axis_names[0]
-    dp = mesh.shape[data_axis]
-    use_fsdp = fsdp and dp > 1
+    data_axis = data_axis_name(mesh)
+    dp = mesh.shape[data_axis] if data_axis is not None else 1
+    use_fsdp = fsdp and data_axis is not None and dp > 1
 
     def spec_for(path, leaf):
         spec = P()

@@ -379,12 +379,14 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.data_parallel or args.model_parallel > 1:
-        # Build the mesh explicitly over a device prefix: the trainer's
-        # build_mesh falls back to Nx1 when dp*mp != device count, which
-        # would SILENTLY drop a requested tensor-parallel topology here.
+        # strict=True: a requested tensor-parallel topology must never be
+        # SILENTLY replaced by build_mesh's Nx1 fallback. The mesh covers
+        # a device prefix when dp*mp < devices (serving may deliberately
+        # reserve chips).
         import jax
-        import numpy as np
-        from jax.sharding import Mesh
+
+        from layoutdit_tpu.config.constructs import MeshConfig
+        from layoutdit_tpu.parallel.mesh import build_mesh
 
         devices = jax.devices()
         mp = max(1, args.model_parallel)
@@ -399,8 +401,10 @@ def main(argv=None) -> None:
                 f"requested data_parallel={dp} x model_parallel={mp} = "
                 f"{need} devices, but only {len(devices)} available"
             )
-        mesh = Mesh(
-            np.asarray(devices[:need]).reshape(dp, mp), ("data", "model")
+        mesh = build_mesh(
+            MeshConfig(data_parallel=dp, model_parallel=mp),
+            devices=devices[:need],
+            strict=True,
         )
         if need < len(devices):
             logger.warning(

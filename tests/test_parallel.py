@@ -400,3 +400,53 @@ def test_sharded_checkpoint_cross_topology_restore(tmp_path):
     tmpl_1 = {"w": jnp.zeros_like(w)}
     state = load_checkpoint_sharded(path, tmpl_1)
     np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w)
+
+
+def test_build_mesh_strict_raises_instead_of_fallback():
+    """strict=True: a requested topology that does not factor the device
+    count raises (the serve CLI must never silently deliver a different
+    tp degree than the user asked for)."""
+    import jax
+
+    devs = jax.devices()[:6]
+    with pytest.raises(ValueError, match="needs 8 devices, got 6"):
+        build_mesh(
+            MeshConfig(data_parallel=4, model_parallel=2),
+            devices=devs,
+            strict=True,
+        )
+    # non-strict keeps the documented warn + Nx1 fallback
+    mesh = build_mesh(
+        MeshConfig(data_parallel=4, model_parallel=2), devices=devs
+    )
+    assert mesh.shape == {"data": 6, "model": 1}
+
+
+def test_model_axis_resolved_by_name_not_position():
+    """Param specs and the serving engine resolve the TP axis by NAME
+    ('model'); axis position must not matter, and axes with other names
+    ('dp'/'tp'/'pipe') must not trigger Megatron TP."""
+    from jax.sharding import Mesh
+
+    cfg = _tiny_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+
+    def has_tp(mesh, axis):
+        specs = detector_param_specs(params, mesh)
+        return any(
+            axis in [a for dim in spec for a in (dim if isinstance(dim, tuple) else (dim,))]
+            for spec in jax.tree_util.tree_leaves(
+                specs, is_leaf=lambda x: isinstance(x, P)
+            )
+        )
+
+    devs = np.asarray(jax.devices())
+    # 1-axis TP-only mesh: the engine-visible 'model' axis must shard
+    assert has_tp(Mesh(devs[:2].reshape(2), ("model",)), "model")
+    # reversed order: shard over 'model', never over 'data'
+    rev = Mesh(devs.reshape(2, 4), ("model", "data"))
+    assert has_tp(rev, "model") and not has_tp(rev, "data")
+    # trainer convention unchanged
+    assert has_tp(Mesh(devs.reshape(4, 2), ("data", "model")), "model")
+    # meshes without a 'model' axis stay fully replicated (pure dp)
+    assert not has_tp(Mesh(devs.reshape(4, 2), ("dp", "tp")), "tp")

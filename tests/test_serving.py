@@ -255,3 +255,34 @@ def test_serving_mesh_tensor_parallel(tiny_model):
         BatchInferenceEngine(tiny_model, batch_size=6, mesh=mesh)
     with pytest.raises(ValueError, match="int8"):
         BatchInferenceEngine(tiny_model, batch_size=8, mesh=mesh, int8=True)
+
+
+def test_serving_tp_only_mesh_actually_shards(tiny_model):
+    """A Mesh(devs, ('model',)) engine must deliver real TP: before the
+    axis resolution was unified (parallel/mesh.py::model_axis_name) the
+    engine detected TP by NAME while the param specs resolved it by
+    POSITION — this mesh got replicated weights and no error."""
+    from jax.sharding import Mesh
+
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("model",))
+    rng = np.random.default_rng(11)
+    pages = [rng.uniform(0, 255, (60, 44 + i, 3)).astype(np.float32)
+             for i in range(3)]
+    ref = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=2, score_thresh=0.0
+    ).predict_pages(pages)
+    eng = BatchInferenceEngine(
+        tiny_model, image_sizes=(64,), batch_size=2, score_thresh=0.0,
+        mesh=mesh,
+    )
+    assert any(
+        "model" in str(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(eng.params)
+        if hasattr(leaf, "sharding")
+    ), "TP mesh produced fully replicated params"
+    got = eng.predict_pages(pages)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.boxes, r.boxes, atol=1e-4)
+        np.testing.assert_array_equal(g.labels, r.labels)
