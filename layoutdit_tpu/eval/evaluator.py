@@ -37,6 +37,7 @@ from layoutdit_tpu.models.detection.detector import (
     rescale_detections,
 )
 from layoutdit_tpu.models.model import LayoutDetectionModel
+from layoutdit_tpu.parallel.mesh import is_lead_host
 
 logger = get_logger(__name__)
 
@@ -217,7 +218,7 @@ class Evaluator:
         return metrics
 
     def _save_predictions_json(self, all_predictions):
-        if jax.process_index() != 0:
+        if not is_lead_host():
             # multi-host: every host holds the same full-split predictions
             # (replicated out_shardings in the DP-eval path, or redundant
             # local eval without a mesh); only the lead host persists them
@@ -267,7 +268,7 @@ class Evaluator:
         """Draw top-k predictions (red) on up to num_images originals
         (reference :64-146). Reads back the predictions JSON like the
         reference does."""
-        if jax.process_index() != 0:
+        if not is_lead_host():
             return  # lead host owns run artifacts (multi-host)
         with self.fs_open(self.predictions_path, "r") as f:
             all_preds = json.load(f)
@@ -299,7 +300,7 @@ class Evaluator:
 
     def visualize_gt(self):
         """Draw ground-truth boxes (green) — reference :148-217."""
-        if jax.process_index() != 0:
+        if not is_lead_host():
             return  # lead host owns run artifacts (multi-host)
         gt_by_image: dict[int, list] = {}
         for ann in self.coco_data["annotations"]:

@@ -17,6 +17,7 @@ import numpy as np
 from flax import serialization
 
 from layoutdit_tpu.log import get_logger
+from layoutdit_tpu.parallel.mesh import is_lead_host
 
 logger = get_logger(__name__)
 
@@ -40,11 +41,25 @@ def _build_payload(params, opt_state, epoch, extra, snapshot=_to_host):
 
 
 def _write_payload(path: str, payload: dict) -> None:
+    """Write-then-rename so a crash mid-write never leaves a truncated
+    file under the final name: ``--resume auto`` picks the NEWEST
+    checkpoint, so a partial write at the newest path would otherwise be
+    selected on every restart and brick the restart loop. POSIX rename is
+    atomic; object stores (gs://) make uploads all-or-nothing anyway, and
+    there mv degrades to copy+delete of an already-complete object. The
+    ``.tmp`` suffix never matches the checkpoint filename pattern
+    (_list_checkpoints), so an orphaned temp file is inert."""
     import fsspec
 
     blob = serialization.to_bytes(payload)
-    with fsspec.open(path, "wb", auto_mkdir=True) as f:
+    fs, p = fsspec.core.url_to_fs(path)
+    parent = p.rsplit("/", 1)[0] if "/" in p else ""
+    if parent:
+        fs.makedirs(parent, exist_ok=True)
+    tmp = p + ".tmp"
+    with fs.open(tmp, "wb") as f:
         f.write(_MAGIC + blob)
+    fs.mv(tmp, p)
 
 
 def save_checkpoint(
@@ -58,7 +73,7 @@ def save_checkpoint(
     replicated (non-trivially sharded state goes through the orbax path,
     models/model.py), so process 0 writes and everyone barriers — two
     hosts writing one object-store path would race."""
-    if jax.process_index() == 0:
+    if is_lead_host():
         _write_payload(path, _build_payload(params, opt_state, epoch, extra))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -95,7 +110,7 @@ class AsyncCheckpointWriter:
         epoch: int = 0,
         extra: Optional[dict] = None,
     ) -> None:
-        if jax.process_index() != 0:
+        if not is_lead_host():
             # replicated state: the lead host's writer persists it (same
             # ownership rule as the synchronous path); no barrier here —
             # durability is settled at close()
@@ -197,7 +212,7 @@ def save_checkpoint_sharded(
     import fsspec
 
     meta = {"epoch": epoch, "extra": extra or {}, "has_opt_state": opt_state is not None}
-    if jax.process_index() == 0:
+    if is_lead_host():
         with fsspec.open(path.rstrip("/") + ".meta.json", "w") as f:
             f.write(json.dumps(meta))
     if jax.process_count() > 1:
@@ -302,7 +317,7 @@ def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
     The reference keeps every checkpoint forever (model.py:90-121) —
     at PubLayNet scale that is ~1 GB per save.
     """
-    if keep <= 0 or jax.process_index() != 0:
+    if keep <= 0 or not is_lead_host():
         return []
     fs, entries = _list_checkpoints(root)
     found = [(e, n) for e, tag, n in entries if not tag]
@@ -322,26 +337,38 @@ def prune_checkpoints(root: str, keep: int, current_epoch: int) -> list[str]:
     return deleted
 
 
-def find_latest_checkpoint(root: str) -> Optional[str]:
-    """Newest resumable checkpoint under ``root`` (a model_checkpoints
-    directory): periodic ``epoch_<n>.{msgpack,orbax}`` and preemption
-    ``epoch_<n>_preempt.*`` saves, ordered by (epoch, preempt-after-
-    periodic) — a preempt save at epoch N carries extra mid-epoch steps,
-    so it outranks the periodic save of the same epoch. Rolling
-    ``best.*`` saves are skipped (they track eval quality, not training
-    progress). Returns None when the directory is absent or empty, so
-    preemption restart loops can pass ``--resume auto`` unconditionally
-    — first run starts fresh, every restart resumes.
+def list_resume_candidates(root: str) -> list[tuple[int, int, str]]:
+    """Resumable checkpoints under ``root`` (a model_checkpoints
+    directory), best first: periodic ``epoch_<n>.{msgpack,orbax}`` and
+    preemption ``epoch_<n>_preempt.*`` saves, ordered by (epoch,
+    preempt-after-periodic) descending — a preempt save at epoch N
+    carries extra mid-epoch steps, so it outranks the periodic save of
+    the same epoch. Rolling ``best.*`` saves are skipped (they track
+    eval quality, not training progress). Each entry is
+    ``(epoch, is_preempt, path)`` — callers that need the rank (the
+    trainer's multi-host agreement check) take it from here instead of
+    re-parsing filenames. Empty when the directory is absent or empty,
+    so preemption restart loops can pass ``--resume auto``
+    unconditionally — first run starts fresh, every restart resumes,
+    and a candidate that fails to load (e.g. truncated by a mid-write
+    kill) falls back to the next-newest instead of bricking the loop.
     """
     fs, entries = _list_checkpoints(root)
-    found = [
-        (e, 1 if tag == "preempt" else 0, n)
-        for e, tag, n in entries
-        if tag in ("", "preempt")
-    ]
-    if not found:
-        return None
-    best = max(found)[2]
+    found = sorted(
+        (
+            (e, 1 if tag == "preempt" else 0, n)
+            for e, tag, n in entries
+            if tag in ("", "preempt")
+        ),
+        reverse=True,
+    )
     if fs.protocol in ("file", ("file", "local"), "local"):
-        return best  # keep plain POSIX paths plain
-    return fs.unstrip_protocol(best)
+        return found  # keep plain POSIX paths plain
+    return [(e, r, fs.unstrip_protocol(n)) for e, r, n in found]
+
+
+def find_latest_checkpoint(root: str) -> Optional[str]:
+    """Path of the best resume candidate (see list_resume_candidates),
+    or None when there is none."""
+    found = list_resume_candidates(root)
+    return found[0][2] if found else None

@@ -563,14 +563,24 @@ class Trainer:
                     # between-epoch SIGTERM case needs agreement too
                     # (_partial_steps>0 already implies every host broke)
                     if self._partial_steps or self._preempted_everywhere():
-                        # epoch may be partial: record only the completed
-                        # count so resume restarts it from the beginning.
+                        # _partial_steps > 0: the epoch was cut mid-loop —
+                        # record the completed step count so resume
+                        # continues it. _partial_steps == 0 means the
+                        # SIGTERM landed AFTER the step loop's last check
+                        # (e.g. during the end-of-epoch loss fetch, a long
+                        # device sync): every update of epoch `epoch` is
+                        # already applied, so the resume point is the NEXT
+                        # epoch — saving `epoch` here would re-train an
+                        # applied epoch on its own updates.
                         # Synchronous save — the grace window may be short.
+                        done_epoch = (
+                            epoch if self._partial_steps else epoch + 1
+                        )
                         if writer is not None:
                             writer.wait()
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
-                            self.epoch, opt_state=self._ckpt_opt_state(),
+                            done_epoch, opt_state=self._ckpt_opt_state(),
                             extra={
                                 "loss_history": self.loss_history,
                                 "metrics_history": self.metrics_history,
@@ -582,9 +592,11 @@ class Trainer:
                             },
                             tag="preempt",
                         )
+                        self.epoch = done_epoch
                         logger.warning(
-                            "Preempted at epoch %d; saved %s — resume with "
-                            "--resume %s", epoch + 1, path, path,
+                            "Preempted at epoch %d step %d; saved %s — "
+                            "resume with --resume %s",
+                            epoch + 1, self._partial_steps, path, path,
                         )
                         break
                     if (
@@ -649,36 +661,33 @@ class Trainer:
         fresh when there is none — preemption restart loops pass it
         unconditionally."""
         from layoutdit_tpu.train.checkpoint import (
-            find_latest_checkpoint,
+            list_resume_candidates,
             load_checkpoint,
             load_checkpoint_sharded,
         )
 
-        if checkpoint_path == "auto":
+        tolerate_failures = checkpoint_path == "auto"
+        if tolerate_failures:
             root = (
                 f"{self._artifact_base()}/{self.config.run_name}"
                 "/model_checkpoints"
             )
-            found = find_latest_checkpoint(root)
+            candidates = list_resume_candidates(root)
             if jax.process_count() > 1:
                 # Hosts must agree on the resume point BEFORE any host
                 # returns: checkpoints write from the lead host only, so
                 # a host-local artifact base leaves other hosts finding
                 # nothing — a mixed fresh/resumed start diverges step
                 # counts and deadlocks the first collective. Fail loudly
-                # instead.
-                import re
-
+                # instead. The signature comes from the canonical parser
+                # (checkpoint.py), not a second filename regex.
                 from jax.experimental import multihost_utils
 
-                sig = -1
-                if found is not None:
-                    m = re.search(r"epoch_(\d+)(_preempt)?\.", found)
-                    sig = (
-                        int(m.group(1)) * 2 + (1 if m.group(2) else 0)
-                        if m
-                        else -2
-                    )
+                sig = (
+                    candidates[0][0] * 2 + candidates[0][1]
+                    if candidates
+                    else -1
+                )
                 sigs = np.asarray(
                     multihost_utils.process_allgather(
                         jnp.asarray([sig], jnp.int32)
@@ -692,24 +701,50 @@ class Trainer:
                         f"artifact base (e.g. gs://...) — checkpoints "
                         f"write from the lead host only."
                     )
-            if found is None:
+            if not candidates:
                 logger.info(
                     "--resume auto: no checkpoint under %s; starting fresh",
                     root,
                 )
                 return
-            logger.info("--resume auto: resuming from %s", found)
-            checkpoint_path = found
+            attempts = [path for _, _, path in candidates]
+        else:
+            attempts = [checkpoint_path]
 
-        loader = (
-            load_checkpoint_sharded
-            if checkpoint_path.rstrip("/").endswith(".orbax")
-            else load_checkpoint
-        )
-        state = loader(
-            checkpoint_path, params_template=self.model.params,
-            opt_state_template=self._ckpt_opt_state(),
-        )
+        state = None
+        for candidate in attempts:
+            loader = (
+                load_checkpoint_sharded
+                if candidate.rstrip("/").endswith(".orbax")
+                else load_checkpoint
+            )
+            try:
+                state = loader(
+                    candidate, params_template=self.model.params,
+                    opt_state_template=self._ckpt_opt_state(),
+                )
+            except Exception as exc:
+                if not tolerate_failures:
+                    raise
+                # e.g. truncated by a SIGKILL mid-write before the
+                # write-then-rename hardening, or a half-uploaded .orbax
+                # dir: fall back to the next-newest instead of bricking
+                # the restart loop on the same bad file forever
+                logger.warning(
+                    "--resume auto: %s unreadable (%s); trying next-newest",
+                    candidate, exc,
+                )
+                continue
+            checkpoint_path = candidate
+            break
+        if state is None:
+            raise RuntimeError(
+                f"--resume auto: all {len(attempts)} checkpoints under "
+                f"{root} are unreadable; refusing to silently restart "
+                f"from scratch"
+            )
+        if tolerate_failures:
+            logger.info("--resume auto: resuming from %s", checkpoint_path)
         self.model.params = state["params"]
         if state["opt_state"] is None:
             # params-only checkpoint (e.g. a converted reference model,
@@ -750,11 +785,12 @@ class Trainer:
     @staticmethod
     def _is_lead_host() -> bool:
         """Run artifacts (loss PNG, metrics.jsonl, TensorBoard, traces)
-        are written by process 0 only: every host computes identical
-        replicated values, and concurrent writers to one object-store
-        path would race. Checkpointing has its own per-shard ownership
-        logic (train/checkpoint.py)."""
-        return jax.process_index() == 0
+        are written by the lead host only (parallel/mesh.py::is_lead_host
+        — the shared ownership rule). Per-shard orbax checkpoints have
+        their own ownership logic (train/checkpoint.py)."""
+        from layoutdit_tpu.parallel.mesh import is_lead_host
+
+        return is_lead_host()
 
     def _save_loss(self):
         """Loss-curve PNG (reference trainer.py:217-230)."""

@@ -236,3 +236,114 @@ def test_resume_auto_picks_latest_or_starts_fresh(tmp_path):
         assert len(restarted.loss_history) == 2
     finally:
         set_layout_dit_config(None)
+
+
+def test_preempt_after_completed_epoch_resumes_next_epoch(tmp_path):
+    """SIGTERM landing AFTER an epoch's last step-loop check (e.g. during
+    the end-of-epoch loss fetch) must checkpoint epoch+1/step 0 — the
+    epoch's updates are all applied. Recording the old epoch made resume
+    re-train an applied epoch on its own updated params."""
+    import jax
+
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=31)
+    write_fixture_config(root, epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 100
+    set_layout_dit_config(cfg)
+    try:
+        model_a = build_model(cfg)
+        Trainer(cfg, model_a).train()  # uninterrupted oracle
+
+        model_b = build_model(cfg)
+        trainer_b = Trainer(cfg, model_b)
+        real_run = trainer_b._run_epoch
+
+        def run_then_sigterm(epoch):
+            out = real_run(epoch)
+            if epoch == 0:  # after epoch 0 fully completed
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        trainer_b._run_epoch = run_then_sigterm
+        trainer_b.train()
+        assert trainer_b._partial_steps == 0
+        assert trainer_b.epoch == 1  # epoch 0 is DONE
+
+        import glob
+
+        ckpt = glob.glob(os.path.join(
+            root, "fixture", "model_checkpoints", "*_preempt.msgpack"))[0]
+        assert os.path.basename(ckpt) == "epoch_1_preempt.msgpack"
+
+        model_b2 = build_model(cfg)
+        trainer_b2 = Trainer(cfg, model_b2)
+        trainer_b2.resume(ckpt)
+        assert trainer_b2.epoch == 1 and trainer_b2._start_step == 0
+        trainer_b2.train()  # runs exactly epoch 1
+
+        for la, lb in zip(jax.tree_util.tree_leaves(model_a.params),
+                          jax.tree_util.tree_leaves(model_b2.params)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    finally:
+        set_layout_dit_config(None)
+
+
+def test_resume_auto_falls_back_past_corrupt_newest(tmp_path):
+    """A truncated/garbage newest checkpoint (SIGKILL mid-write predating
+    the write-then-rename hardening, half-uploaded object, disk-full) must
+    not brick the restart loop: --resume auto falls back to the next-
+    newest intact save; when EVERY candidate is unreadable it raises
+    rather than silently restarting from scratch."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=33)
+    write_fixture_config(root, epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 1
+    set_layout_dit_config(cfg)
+    try:
+        Trainer(cfg, build_model(cfg)).train()  # epoch_1 + epoch_2 saved
+        ckdir = os.path.join(root, "fixture", "model_checkpoints")
+        # a corrupt file now outranks them
+        with open(os.path.join(ckdir, "epoch_3_preempt.msgpack"), "wb") as f:
+            f.write(b"LDTPU1\n\x00truncated-by-a-mid-write-kill")
+
+        restarted = Trainer(cfg, build_model(cfg))
+        restarted.resume("auto")
+        assert restarted.epoch == 2  # fell back to the intact epoch_2
+
+        for name in os.listdir(ckdir):
+            with open(os.path.join(ckdir, name), "wb") as f:
+                f.write(b"garbage")
+        bricked = Trainer(cfg, build_model(cfg))
+        with pytest.raises(RuntimeError, match="unreadable"):
+            bricked.resume("auto")
+    finally:
+        set_layout_dit_config(None)
+
+
+def test_checkpoint_write_is_tmp_then_rename(tmp_path):
+    """No partial file ever sits at the final name: the payload lands at
+    <path>.tmp and is renamed; no .tmp residue after success, and an
+    orphaned .tmp never matches the resume-candidate pattern."""
+    from layoutdit_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    d = tmp_path / "ck"
+    params = {"w": np.arange(4.0)}
+    save_checkpoint(str(d / "epoch_1.msgpack"), params, epoch=1)
+    assert sorted(os.listdir(d)) == ["epoch_1.msgpack"]  # no .tmp residue
+    got = load_checkpoint(str(d / "epoch_1.msgpack"), params)
+    np.testing.assert_array_equal(got["params"]["w"], params["w"])
+    # an orphaned tmp (crash between write and rename) is inert
+    (d / "epoch_9.msgpack.tmp").write_bytes(b"partial")
+    assert find_latest_checkpoint(str(d)).endswith("epoch_1.msgpack")
