@@ -364,3 +364,53 @@ class BatchInferenceEngine:
     def predict_document(self, pages: Sequence) -> list[PageDetections]:
         """Alias: a document is a list of pages."""
         return self.predict_pages(pages)
+
+
+class ExportedInferenceEngine(BatchInferenceEngine):
+    """The same pipelined serving engine, backed by an AOT export
+    artifact (export.py) instead of live model code: per-bucket
+    callables are the deserialized StableHLO programs, so serving a
+    frozen artifact gets the identical host path — size bucketing,
+    padded static batches, bounded decode-ahead, in-flight dispatch
+    window — with zero ``layoutdit_tpu`` model/config involvement.
+
+    ``batch_size`` and ``image_sizes`` are fixed at export time (the
+    StableHLO programs have static shapes); the constructor takes them
+    from the artifact's manifest.
+    """
+
+    def __init__(
+        self,
+        exported,
+        score_thresh: float = 0.05,
+        decode_workers: int | None = None,
+        max_in_flight: int = 2,
+    ):
+        from layoutdit_tpu.export import ExportedDetector
+
+        if isinstance(exported, str):
+            exported = ExportedDetector(exported)
+        if decode_workers is None:
+            decode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
+        self.exported = exported
+        self.model = None
+        self.mesh = None
+        self.image_sizes = sorted(exported.image_sizes)
+        self.batch_size = int(exported.manifest["batch_size"])
+        self.score_thresh = score_thresh
+        self.decode_workers = decode_workers
+        self.max_in_flight = max(1, max_in_flight)
+        self._batch_sharding = None
+        self._params = None  # weights live inside the artifact
+
+    def _predict_fn(self, size: int):
+        import types
+
+        def run(_params, images, orig_sizes):
+            # dict -> attribute view: predict_pages' fetch() reads
+            # .boxes/.scores/.labels/.valid like a Detections pytree
+            return types.SimpleNamespace(
+                **self.exported.predict_async(images, orig_sizes)
+            )
+
+        return run

@@ -88,6 +88,9 @@ def export_detector(
         "image_sizes": list(image_sizes),
         "batch_size": batch_size,
         "num_leaves": len(leaves),
+        # foreground classes, so a serving front end can label detections
+        # without any model config (older artifacts lack the key)
+        "num_classes": int(getattr(cfg, "num_classes", 0)) or None,
         "platforms": list(platforms) if platforms else None,
         "jax_version": jax.__version__,
     }
@@ -126,15 +129,22 @@ class ExportedDetector:
     def image_sizes(self) -> list[int]:
         return list(self._fns)
 
-    def predict(self, images: np.ndarray, orig_sizes: np.ndarray) -> dict:
-        size = images.shape[-1]
+    def predict_async(self, images, orig_sizes) -> dict:
+        """Like ``predict`` but returns device arrays without forcing a
+        host sync — serving pipelines (eval/serving.py) dispatch batches
+        ahead and fetch ``max_in_flight`` behind, so the transfer must
+        not be forced here."""
+        size = int(np.shape(images)[-1])
         if size not in self._fns:
             raise ValueError(
                 f"no exported bucket for size {size}; have {self.image_sizes}"
             )
-        out = self._fns[size].call(
+        return self._fns[size].call(
             self._leaves,
             jnp.asarray(images, jnp.float32),
             jnp.asarray(orig_sizes, jnp.float32),
         )
+
+    def predict(self, images: np.ndarray, orig_sizes: np.ndarray) -> dict:
+        out = self.predict_async(images, orig_sizes)
         return {k: np.asarray(v) for k, v in out.items()}

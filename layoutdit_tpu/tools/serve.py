@@ -305,21 +305,42 @@ def make_server(model, host: str, port: int, *, image_sizes=(224,),
                 batch_size: int = 8, score_thresh: float = 0.05,
                 flush_ms: float = 5.0, max_batch: int | None = None,
                 int8: bool = False, dataset: str | None = None,
-                mesh=None):
+                mesh=None, export_dir: str | None = None):
     """(ThreadingHTTPServer, DynamicBatcher) — batcher already started.
     Split from main() so tests can run the server in-process. ``mesh``:
     optional jax.sharding.Mesh — dp serving, or tensor-parallel when the
-    mesh has a 'model' axis (eval/serving.py)."""
+    mesh has a 'model' axis (eval/serving.py). ``export_dir``: serve a
+    frozen AOT artifact (export.py) instead of a live model — pass
+    ``model=None``; buckets/batch size come from the artifact manifest
+    and int8/mesh do not apply (bake quantization or shardings in at
+    export time)."""
     from layoutdit_tpu.config import get_layout_dit_config
-    from layoutdit_tpu.eval.serving import BatchInferenceEngine
     from layoutdit_tpu.tools.predict import _label_names
 
-    engine = BatchInferenceEngine(
-        model, image_sizes=tuple(image_sizes), batch_size=batch_size,
-        score_thresh=score_thresh, int8=int8, mesh=mesh,
-    )
-    config = get_layout_dit_config()
-    n_classes = config.detection_model_config.num_classes
+    n_classes = None
+    if export_dir is not None:
+        if model is not None or int8 or mesh is not None:
+            raise ValueError(
+                "--export-dir serves a frozen artifact: model/int8/mesh "
+                "do not apply (bake them in at export time)"
+            )
+        from layoutdit_tpu.eval.serving import ExportedInferenceEngine
+
+        engine = ExportedInferenceEngine(
+            export_dir, score_thresh=score_thresh
+        )
+        n_classes = engine.exported.manifest.get("num_classes")
+        batch_size = engine.batch_size
+    else:
+        from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+        engine = BatchInferenceEngine(
+            model, image_sizes=tuple(image_sizes), batch_size=batch_size,
+            score_thresh=score_thresh, int8=int8, mesh=mesh,
+        )
+    if n_classes is None:  # live model, or a pre-num_classes manifest
+        config = get_layout_dit_config()
+        n_classes = config.detection_model_config.num_classes
     names = _label_names(n_classes, dataset)
     info = {
         "image_sizes": list(engine.image_sizes),
@@ -342,12 +363,18 @@ def make_server(model, host: str, port: int, *, image_sizes=(224,),
 
     httpd = _Server((host, port), make_handler(batcher, names, info, metrics))
     httpd.metrics = metrics  # for callers/tests
+    httpd.info = info
     return httpd, batcher
 
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Layout detection HTTP server")
-    parser.add_argument("--checkpoint", required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="live model checkpoint to serve")
+    src.add_argument("--export-dir",
+                     help="serve a frozen AOT artifact "
+                          "(tools/export_model.py); buckets and batch "
+                          "size come from its manifest")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--sizes", type=int, nargs="+", default=[224])
@@ -370,12 +397,20 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
-    from layoutdit_tpu.config import get_layout_dit_config
-    from layoutdit_tpu.models.model import build_model
 
-    config = get_layout_dit_config()
-    model = build_model(config)
-    model.restore_checkpoint(args.checkpoint)
+    model = None
+    if args.checkpoint is not None:
+        from layoutdit_tpu.config import get_layout_dit_config
+        from layoutdit_tpu.models.model import build_model
+
+        config = get_layout_dit_config()
+        model = build_model(config)
+        model.restore_checkpoint(args.checkpoint)
+    elif args.int8 or args.data_parallel or args.model_parallel > 1:
+        raise SystemExit(
+            "--export-dir serves a frozen artifact: --int8/--data-parallel/"
+            "--model-parallel do not apply (bake them in at export time)"
+        )
 
     mesh = None
     if args.data_parallel or args.model_parallel > 1:
@@ -417,7 +452,7 @@ def main(argv=None) -> None:
         model, args.host, args.port, image_sizes=args.sizes,
         batch_size=args.batch_size, score_thresh=args.score_thresh,
         flush_ms=args.flush_ms, max_batch=args.max_batch, int8=args.int8,
-        dataset=args.dataset, mesh=mesh,
+        dataset=args.dataset, mesh=mesh, export_dir=args.export_dir,
     )
     # graceful preemption: SIGTERM (TPU-VM/GKE preemption signal) stops
     # accepting, lets in-flight requests finish, drains the batcher —
@@ -438,7 +473,8 @@ def main(argv=None) -> None:
         # notebooks) drive httpd.shutdown() themselves
         logger.warning("not in main thread; SIGTERM handler not installed")
     logger.info("Serving on http://%s:%d (buckets %s)",
-                args.host, httpd.server_address[1], args.sizes)
+                args.host, httpd.server_address[1],
+                httpd.info["image_sizes"])
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

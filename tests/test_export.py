@@ -109,3 +109,37 @@ def test_export_bad_artifact(tmp_path):
     (tmp_path / "manifest.json").write_text('{"format": "something-else"}')
     with pytest.raises(ValueError, match="not a layoutdit_tpu export"):
         ExportedDetector(str(tmp_path))
+
+
+def test_exported_engine_matches_live_engine(tiny, tmp_path):
+    """ExportedInferenceEngine (the serving pipeline over a frozen
+    StableHLO artifact) returns the same detections as the live-model
+    engine: same bucketing, padding, corrupt-slot and score-threshold
+    semantics — with zero model code involved."""
+    from layoutdit_tpu.eval.serving import (
+        BatchInferenceEngine,
+        ExportedInferenceEngine,
+    )
+
+    cfg, params = tiny
+    path = str(tmp_path / "artifact")
+    export_detector(params, cfg, path, image_sizes=(64,), batch_size=2)
+
+    class M:
+        pass
+
+    M.cfg, M.params = cfg, params
+    rng = np.random.default_rng(3)
+    pages = [rng.uniform(0, 255, (50, 40 + i, 3)).astype(np.float32)
+             for i in range(5)]
+    live = BatchInferenceEngine(
+        M, image_sizes=(64,), batch_size=2, score_thresh=0.1
+    ).predict_pages(pages)
+    frozen_eng = ExportedInferenceEngine(path, score_thresh=0.1)
+    assert frozen_eng.batch_size == 2  # from the manifest
+    frozen = frozen_eng.predict_pages(pages)
+    assert len(frozen) == len(live) == 5
+    for f, l in zip(frozen, live):
+        np.testing.assert_allclose(f.boxes, l.boxes, atol=1e-5)
+        np.testing.assert_allclose(f.scores, l.scores, atol=1e-6)
+        np.testing.assert_array_equal(f.labels, l.labels)

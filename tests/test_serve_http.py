@@ -285,3 +285,73 @@ def test_server_over_tensor_parallel_mesh(tmp_path):
         )
     finally:
         set_layout_dit_config(None)
+
+
+def test_serve_from_export_artifact(tmp_path):
+    """--export-dir serving: the HTTP server runs a frozen StableHLO
+    artifact with no live model; /info reflects the manifest (buckets,
+    batch size, num_classes) and /predict answers in page coordinates.
+    Passing a live model together with export_dir is rejected."""
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from layoutdit_tpu.config.constructs import DetectionBudget
+    from layoutdit_tpu.export import export_detector
+    from layoutdit_tpu.models.backbone import BackboneConfig
+    from layoutdit_tpu.models.detection.detector import (
+        DetectorConfig,
+        init_detector_params,
+    )
+    from layoutdit_tpu.models.vit import ViTConfig
+
+    cfg = DetectorConfig(
+        backbone=BackboneConfig(
+            vit=ViTConfig(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          image_size=64),
+            fpn_out_channels=32,
+        ),
+        image_size=64,
+        budget=DetectionBudget(
+            rpn_pre_nms_top_n_test=50, rpn_post_nms_top_n_test=50,
+            box_detections_per_img=10,
+        ),
+    )
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "artifact")
+    export_detector(params, cfg, art, image_sizes=(64,), batch_size=2)
+
+    with pytest.raises(ValueError, match="frozen artifact"):
+        make_server(object(), "127.0.0.1", 0, export_dir=art)
+
+    httpd, batcher = make_server(
+        None, "127.0.0.1", 0, score_thresh=0.0, export_dir=art,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(url + "/info", timeout=60) as r:
+            info = json.loads(r.read())
+        assert info["image_sizes"] == [64]
+        assert info["batch_size"] == 2  # manifest, not the default 8
+        assert info["num_classes"] == cfg.num_classes
+
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.default_rng(5).uniform(0, 255, (60, 40, 3)))
+            .astype(np.uint8)
+        ).save(buf, format="JPEG")
+        got = _post(url, buf.getvalue())
+        assert set(got) == {"boxes", "scores", "labels", "label_names"}
+        for b in got["boxes"]:  # original page coordinates
+            assert 0 <= b[0] <= 40 and 0 <= b[1] <= 60
+    finally:
+        httpd.shutdown()
+        batcher.stop()
