@@ -159,6 +159,16 @@ class TrainingConfig(BaseModel):
     seed: int = 0
     # Gradient clipping (0 disables); reference has none.
     grad_clip_norm: float = 0.0
+    # Skip optimizer updates whose gradients contain non-finite values
+    # (a corrupt batch, a bf16 overflow spike): params/moments stay
+    # untouched for up to N CONSECUTIVE bad steps, then the NaNs flow
+    # through and fail loudly (a persistently diverged run must not
+    # freewheel forever). 0 = off — matching the reference, where one
+    # NaN batch silently poisons the weights (trainer.py:119-125 steps
+    # unconditionally). Note: turning this on wraps the optimizer state
+    # (optax.apply_if_finite), so checkpoints are not interchangeable
+    # with runs that have it off.
+    skip_nonfinite_updates: int = 0
     # Batches executed per device dispatch (lax.scan inside one jit call).
     # >1 amortizes host->device dispatch latency — important on remote
     # backends where each call costs a round trip. Default from the

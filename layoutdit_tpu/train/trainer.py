@@ -97,6 +97,14 @@ def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
     )
     if train_cfg.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    if train_cfg.skip_nonfinite_updates > 0:
+        # inside-jit guard: a non-finite grad step becomes a no-op
+        # (params AND optimizer moments untouched) instead of poisoning
+        # the weights; after N consecutive bad steps the NaNs propagate
+        # so a truly diverged run still fails loudly
+        tx = optax.apply_if_finite(
+            tx, max_consecutive_errors=train_cfg.skip_nonfinite_updates
+        )
     return tx
 
 

@@ -51,3 +51,74 @@ def test_warmup_composes_with_either_schedule():
         np.testing.assert_allclose(float(lr(9)), 0.1, rtol=1e-3)
         vals = [float(lr(c)) for c in range(10)]
         assert all(a < b for a, b in zip(vals, vals[1:]))
+
+
+def test_skip_nonfinite_updates_guards_params_and_moments():
+    """skip_nonfinite_updates=N: a NaN/inf gradient step is a complete
+    no-op (params, Adam moments, schedule count all untouched), finite
+    steps apply normally, and after N consecutive bad steps the NaNs
+    flow through so a diverged run fails loudly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from layoutdit_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(
+        TrainingConfig(skip_nonfinite_updates=2), steps_per_epoch=10
+    )
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 1.0])}
+    good = {"w": jnp.full(3, 0.5)}
+
+    upd, state = tx.update(bad, state, params)
+    p_after_bad = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(p_after_bad["w"]),
+                                  np.asarray(params["w"]))
+    assert int(state.notfinite_count) == 1
+
+    upd, state = tx.update(good, state, p_after_bad)
+    p_after_good = optax.apply_updates(p_after_bad, upd)
+    assert not np.allclose(np.asarray(p_after_good["w"]),
+                           np.asarray(params["w"]))
+    assert int(state.notfinite_count) == 0  # reset by a finite step
+
+    # exceed the budget: 3rd consecutive bad step propagates non-finite
+    for _ in range(3):
+        upd, state = tx.update(bad, state, p_after_good)
+        p_after_good = optax.apply_updates(p_after_good, upd)
+    assert not np.isfinite(np.asarray(p_after_good["w"])).all()
+
+
+def test_skip_nonfinite_trainer_e2e_checkpoint_roundtrip(tmp_path):
+    """The wrapped optimizer state (ApplyIfFiniteState) must survive the
+    full train -> checkpoint -> resume path: the checkpoint templates
+    are built from the live opt_state, so the extra wrapper layers have
+    to round-trip."""
+    import json
+    import os
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=41)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 1
+    cfg.train_config.skip_nonfinite_updates = 3
+    set_layout_dit_config(cfg)
+    try:
+        t = Trainer(cfg, build_model(cfg))
+        t.train()
+        assert np.isfinite(t.loss_history[-1])
+        t2 = Trainer(cfg, build_model(cfg))
+        t2.resume("auto")
+        assert t2.epoch == 1
+        assert int(t2.opt_state.notfinite_count) == 0
+    finally:
+        set_layout_dit_config(None)
