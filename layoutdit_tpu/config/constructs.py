@@ -194,6 +194,13 @@ class TrainingConfig(BaseModel):
     # EMA enabled the EMA weights are what gets evaluated (and saved as
     # the best checkpoint's params — the deployable weights).
     eval_interval: int = 0
+    # Stop training after this many consecutive mid-evals without a new
+    # best mAP (requires eval_interval > 0; 0 disables). The rolling
+    # best.* checkpoint already holds the winning weights, so the tail
+    # epochs a fixed num_epochs would waste are pure savings. Multi-host
+    # safe: eval metrics are replicated across hosts (DP eval), so every
+    # host reaches the same stop decision.
+    early_stop_patience: int = 0
 
     # LR schedule family: "step" = the reference's StepLR (step_size /
     # gamma above); "cosine" = half-cosine decay to 0 over the run.

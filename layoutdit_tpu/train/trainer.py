@@ -165,6 +165,7 @@ class Trainer:
         # mid-training eval (TrainingConfig.eval_interval)
         self.best_map = float("-inf")
         self.best_checkpoint_path: str | None = None
+        self._evals_since_best = 0  # mid-evals since the last best mAP
         self._evaluator = None
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
@@ -517,6 +518,7 @@ class Trainer:
                 self.metrics_history[-1]["mAP"] = m
             logger.info("Eval at epoch %d: mAP=%.4f", epoch + 1, m)
             if np.isfinite(m) and m > self.best_map:
+                self._evals_since_best = 0
                 self.best_map = m
                 self.best_checkpoint_path = self.model.save_checkpoint(
                     self._artifact_base(), self.config.run_name, epoch + 1,
@@ -528,6 +530,8 @@ class Trainer:
                 logger.info(
                     "New best mAP %.4f -> %s", m, self.best_checkpoint_path
                 )
+            else:
+                self._evals_since_best += 1
         finally:
             if saved is not None:
                 self.model.params = saved
@@ -607,11 +611,22 @@ class Trainer:
                             epoch + 1, self._partial_steps, path, path,
                         )
                         break
+                    stop_early = False
                     if (
                         train_cfg.eval_interval > 0
                         and (epoch + 1) % train_cfg.eval_interval == 0
                     ):
                         self._mid_eval(epoch)
+                        # early stop: N consecutive evals without a new
+                        # best mAP -> the best.* checkpoint already holds
+                        # the winning weights; the remaining epochs are
+                        # waste. Decision is host-consistent (replicated
+                        # eval metrics). Bookkeeping below still runs so
+                        # the final epoch checkpoints/logs normally.
+                        stop_early = (
+                            0 < train_cfg.early_stop_patience
+                            <= self._evals_since_best
+                        )
                     if tb is not None and self.metrics_history and \
                             self.metrics_history[-1].get("epoch") == epoch + 1:
                         rec = self.metrics_history[-1]
@@ -646,6 +661,13 @@ class Trainer:
                                 train_cfg.keep_checkpoints, epoch + 1,
                             )
                     self.epoch = epoch + 1
+                    if stop_early:
+                        logger.info(
+                            "Early stop at epoch %d: no mAP improvement "
+                            "in %d evals (best %.4f)", epoch + 1,
+                            self._evals_since_best, self.best_map,
+                        )
+                        break
         finally:
             self._guard = None
             if writer is not None:

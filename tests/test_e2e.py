@@ -257,3 +257,41 @@ def test_mid_training_eval_tracks_best(tmp_path):
         assert [r.get("mAP") for r in recs] == maps
     finally:
         set_layout_dit_config(None)
+
+
+def test_early_stopping_on_map_plateau(tmp_path):
+    """early_stop_patience: training halts after N consecutive mid-evals
+    without a new best mAP; the best checkpoint (written at the peak)
+    survives, and the epochs a fixed num_epochs would waste never run."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=9)
+    write_fixture_config(root, epochs=10, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.eval_interval = 1
+    cfg.train_config.early_stop_patience = 2
+    cfg.train_config.checkpoint_interval = 100
+    set_layout_dit_config(cfg)
+    try:
+        trainer = Trainer(cfg, build_model(cfg))
+
+        class _PlateauEval:
+            """mAP peaks on eval 2, then plateaus below it."""
+
+            seq = iter([0.30, 0.50, 0.40, 0.45, 0.49, 0.49, 0.49])
+
+            def score(self):
+                return {"mAP": next(self.seq)}
+
+        trainer._evaluator = _PlateauEval()
+        trainer.train()
+        # peak at epoch 2, two non-improving evals (epochs 3, 4) -> stop
+        assert trainer.epoch == 4
+        assert trainer.best_map == 0.50
+        assert trainer.best_checkpoint_path.endswith("best.msgpack")
+        assert os.path.exists(trainer.best_checkpoint_path)
+        assert len(trainer.loss_history) == 4  # epochs 5..10 never ran
+    finally:
+        set_layout_dit_config(None)
