@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. cpu,tpu "
                          "(default: current backend)")
+    ap.add_argument("--int8", action="store_true",
+                    help="bake W8A8-dynamic int8 encoder quantization into "
+                         "the artifact (ops/quant.py; measured neutral for "
+                         "dit-base on v5e — see PERF_STAGES.md)")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
@@ -47,8 +51,17 @@ def main(argv=None) -> None:
 
     sizes = [int(s) for s in args.sizes.split(",")]
     platforms = args.platforms.split(",") if args.platforms else None
+    params = model.params
+    if args.int8:
+        # quantize BEFORE tracing: the int8 weights + scales become the
+        # artifact's flat leaves and the StableHLO program carries the
+        # dynamic-activation-quant matmuls — the serving box never sees
+        # a quantization pass
+        from layoutdit_tpu.ops.quant import quantize_detector_params
+
+        params = quantize_detector_params(params)
     manifest = export_detector(
-        model.params, model.cfg, args.out,
+        params, model.cfg, args.out,
         image_sizes=sizes, batch_size=args.batch_size, platforms=platforms,
     )
     logger.info("exported %s -> %s", manifest, args.out)

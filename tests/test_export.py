@@ -143,3 +143,33 @@ def test_exported_engine_matches_live_engine(tiny, tmp_path):
         np.testing.assert_allclose(f.boxes, l.boxes, atol=1e-5)
         np.testing.assert_allclose(f.scores, l.scores, atol=1e-6)
         np.testing.assert_array_equal(f.labels, l.labels)
+
+
+def test_export_int8_bakes_quantization_in(tiny, tmp_path):
+    """--int8 export: the artifact's leaves are the int8 weights+scales
+    and the StableHLO program carries the dynamic-quant matmuls — its
+    predictions match the in-process quantized model exactly, and the
+    serving box never runs a quantization pass."""
+    from layoutdit_tpu.ops.quant import quantize_detector_params
+
+    cfg, params = tiny
+    qparams = quantize_detector_params(params)
+    path = str(tmp_path / "artifact_int8")
+    export_detector(qparams, cfg, path, image_sizes=(64,), batch_size=2)
+
+    art = ExportedDetector(path)
+    assert any(
+        leaf.dtype == np.int8 for leaf in art._leaves
+    ), "int8 weights did not land in the artifact"
+
+    images = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 64, 64)), np.float32
+    )
+    orig = np.asarray([[60, 50], [64, 64]], np.float32)
+    got = art.predict(images, orig)
+    want = rescale_detections(
+        detector_predict(qparams, jnp.asarray(images), cfg),
+        jnp.asarray(orig), 64,
+    )
+    np.testing.assert_allclose(got["boxes"], np.asarray(want.boxes), atol=1e-5)
+    np.testing.assert_array_equal(got["labels"], np.asarray(want.labels))
