@@ -90,10 +90,18 @@ def make_lr_schedule(train_cfg: TrainingConfig, steps_per_epoch: int):
 
 def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
     """AdamW + the configured LR schedule as one optax chain."""
+    mu_dtype = getattr(train_cfg, "adam_mu_dtype", "float32")
+    if mu_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"adam_mu_dtype must be 'float32' or 'bfloat16', got {mu_dtype!r}"
+        )
     tx = optax.adamw(
         learning_rate=make_lr_schedule(train_cfg, steps_per_epoch),
         b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=train_cfg.weight_decay,
+        # bf16 mu storage halves the first moment's read+write stream;
+        # optax casts back to fp32 inside the update (constructs.py note)
+        mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None,
     )
     if train_cfg.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)

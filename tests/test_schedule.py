@@ -122,3 +122,64 @@ def test_skip_nonfinite_trainer_e2e_checkpoint_roundtrip(tmp_path):
         assert int(t2.opt_state.notfinite_count) == 0
     finally:
         set_layout_dit_config(None)
+
+
+def test_adam_mu_dtype_bf16_moments():
+    """adam_mu_dtype="bfloat16": mu is STORED bf16 (half the first
+    moment's HBM stream), nu stays fp32, params stay fp32, and a few
+    updates track the fp32-mu trajectory closely (update math still
+    runs in fp32 — optax casts mu up inside the update)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from layoutdit_tpu.train.trainer import make_optimizer
+
+    params = {
+        "w": jnp.linspace(-1.0, 1.0, 64, dtype=jnp.float32).reshape(8, 8),
+        "b": jnp.zeros((8,), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.cos(p * 3.0) * 0.1, params
+    )
+
+    def run(mu_dtype):
+        cfg = TrainingConfig(learning_rate=1e-2, adam_mu_dtype=mu_dtype)
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        state = tx.init(params)
+        p = params
+        for _ in range(5):
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    p32, _ = run("float32")
+    pbf, state = run("bfloat16")
+    # locate the ScaleByAdamState inside the (possibly nested) chain
+    adam = [
+        s
+        for s in jax.tree_util.tree_leaves(
+            state, is_leaf=lambda x: hasattr(x, "mu")
+        )
+        if hasattr(s, "mu")
+    ]
+    assert adam, "no ScaleByAdamState found in optimizer state"
+    mu_leaves = jax.tree.leaves(adam[0].mu)
+    nu_leaves = jax.tree.leaves(adam[0].nu)
+    assert all(m.dtype == jnp.bfloat16 for m in mu_leaves)
+    assert all(n.dtype == jnp.float32 for n in nu_leaves)
+    # params themselves stay fp32 and the trajectory tracks fp32-mu
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(pbf)):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_adam_mu_dtype_rejects_unknown():
+    import pytest
+
+    from layoutdit_tpu.train.trainer import make_optimizer
+
+    with pytest.raises(ValueError, match="adam_mu_dtype"):
+        make_optimizer(
+            TrainingConfig(adam_mu_dtype="float16"), steps_per_epoch=1
+        )
