@@ -86,6 +86,21 @@ class BatchInferenceEngine:
         ``max_in_flight`` input batches.
     """
 
+    def _init_pipeline_fields(
+        self,
+        score_thresh: float,
+        decode_workers: int | None,
+        max_in_flight: int,
+    ) -> None:
+        """Host-pipeline scalars shared by the live and exported engines
+        (the decode-worker default encodes the 1-core-host tuning from
+        PERF_STAGES.md — keep it in exactly one place)."""
+        if decode_workers is None:
+            decode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
+        self.score_thresh = score_thresh
+        self.decode_workers = decode_workers
+        self.max_in_flight = max(1, max_in_flight)
+
     def __init__(
         self,
         model,
@@ -97,15 +112,11 @@ class BatchInferenceEngine:
         decode_workers: int | None = None,
         max_in_flight: int = 2,
     ):
-        if decode_workers is None:
-            decode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
         self.model = model
         self.image_sizes = sorted(image_sizes)
         self.batch_size = batch_size
-        self.score_thresh = score_thresh
         self.mesh = mesh
-        self.decode_workers = decode_workers
-        self.max_in_flight = max(1, max_in_flight)
+        self._init_pipeline_fields(score_thresh, decode_workers, max_in_flight)
         # Resolve the TP axis the same way the sharding rules do
         # (parallel/mesh.py::model_axis_name): by NAME when an axis is
         # called 'model', else positionally. Engine and param specs
@@ -390,16 +401,12 @@ class ExportedInferenceEngine(BatchInferenceEngine):
 
         if isinstance(exported, str):
             exported = ExportedDetector(exported)
-        if decode_workers is None:
-            decode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
         self.exported = exported
         self.model = None
         self.mesh = None
         self.image_sizes = sorted(exported.image_sizes)
         self.batch_size = int(exported.manifest["batch_size"])
-        self.score_thresh = score_thresh
-        self.decode_workers = decode_workers
-        self.max_in_flight = max(1, max_in_flight)
+        self._init_pipeline_fields(score_thresh, decode_workers, max_in_flight)
         self._batch_sharding = None
         self._params = None  # weights live inside the artifact
 

@@ -117,8 +117,13 @@ class ExportedDetector:
             raise ValueError(f"{path} is not a layoutdit_tpu export artifact")
         with fs.open(os.path.join(root, "params.npz"), "rb") as f:
             npz = np.load(f)
+            # device_put ONCE at load: leaving these as host numpy would
+            # re-transfer the full parameter set (~344 MB at dit-base
+            # fp32) on EVERY .call, serializing against the serving
+            # pipeline's dispatch window
             self._leaves = [
-                npz[str(i)] for i in range(self.manifest["num_leaves"])
+                jax.device_put(npz[str(i)])
+                for i in range(self.manifest["num_leaves"])
             ]
         self._fns = {}
         for size in self.manifest["image_sizes"]:

@@ -377,8 +377,10 @@ def main(argv=None) -> None:
                           "size come from its manifest")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--sizes", type=int, nargs="+", default=[224])
-    parser.add_argument("--batch-size", type=int, default=8)
+    # defaults resolved below: live serving gets 224/8; with --export-dir
+    # the artifact manifest is authoritative and passing either is an error
+    parser.add_argument("--sizes", type=int, nargs="+", default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--max-batch", type=int, default=None,
                         help="dynamic-batch cap (default: --batch-size)")
     parser.add_argument("--flush-ms", type=float, default=5.0,
@@ -406,11 +408,18 @@ def main(argv=None) -> None:
         config = get_layout_dit_config()
         model = build_model(config)
         model.restore_checkpoint(args.checkpoint)
-    elif args.int8 or args.data_parallel or args.model_parallel > 1:
+    elif (args.int8 or args.data_parallel or args.model_parallel > 1
+          or args.sizes is not None or args.batch_size is not None):
         raise SystemExit(
             "--export-dir serves a frozen artifact: --int8/--data-parallel/"
-            "--model-parallel do not apply (bake them in at export time)"
+            "--model-parallel/--sizes/--batch-size do not apply (bake them "
+            "in at export time; buckets and batch size come from the "
+            "artifact manifest)"
         )
+    if args.sizes is None:
+        args.sizes = [224]
+    if args.batch_size is None:
+        args.batch_size = 8
 
     mesh = None
     if args.data_parallel or args.model_parallel > 1:

@@ -174,6 +174,7 @@ class Trainer:
         self.best_map = float("-inf")
         self.best_checkpoint_path: str | None = None
         self._evals_since_best = 0  # mid-evals since the last best mAP
+        self._skipped_logged = 0  # last logged skipped-nonfinite count
         self._evaluator = None
         self.trace_log_dir = config.train_config.trace_log_dir
         self.epoch = 0
@@ -442,12 +443,28 @@ class Trainer:
         # one optimizer update per step (grad accumulation happens inside
         # the step); lr evaluated at the post-epoch update count
         self._total_updates += n_new
-        self.metrics_history.append({
+        rec = {
             "epoch": epoch + 1,
             "loss": avg,
             "images_per_sec": round(n_images / max(dt, 1e-9), 2),
             "learning_rate": float(self._lr_schedule(self._total_updates)),
-        })
+        }
+        if train_cfg.skip_nonfinite_updates > 0:
+            # surface skipped steps (optax.apply_if_finite): NON-consecutive
+            # NaN steps never trip the consecutive-failure budget, so
+            # without this count a run silently no-opping half its updates
+            # looks like a normal loss curve in metrics.jsonl
+            skipped = getattr(self.opt_state, "total_notfinite", None)
+            if skipped is not None:
+                rec["skipped_nonfinite_steps"] = int(skipped)
+                if rec["skipped_nonfinite_steps"] > self._skipped_logged:
+                    logger.warning(
+                        "%d non-finite gradient step(s) skipped so far "
+                        "this run (params/moments untouched on those)",
+                        rec["skipped_nonfinite_steps"],
+                    )
+                    self._skipped_logged = rec["skipped_nonfinite_steps"]
+        self.metrics_history.append(rec)
         logger.info(
             "Epoch %d/%d, Loss: %.4f (%.1f img/s)",
             epoch + 1, train_cfg.num_epochs, avg, n_images / max(dt, 1e-9),
@@ -531,15 +548,23 @@ class Trainer:
                 self.best_checkpoint_path = self.model.save_checkpoint(
                     self._artifact_base(), self.config.run_name, epoch + 1,
                     opt_state=self._ckpt_opt_state(),
-                    extra={"mAP": m, "epoch": epoch + 1,
+                    # _train_extras so an explicit --resume best.msgpack
+                    # keeps histories + the best/patience trackers too
+                    extra={**self._train_extras(),
+                           "mAP": m, "epoch": epoch + 1,
                            "ema": self.ema_params is not None},
                     stem="best",
                 )
                 logger.info(
                     "New best mAP %.4f -> %s", m, self.best_checkpoint_path
                 )
-            else:
+            elif np.isfinite(self.best_map):
                 self._evals_since_best += 1
+            # else: no finite best exists yet (e.g. undertrained model
+            # producing zero predictions -> mAP NaN) — don't tick the
+            # early-stop clock before a deployable best.* checkpoint has
+            # ever been written; the run would otherwise halt at
+            # best=-inf with best_checkpoint_path=None
         finally:
             if saved is not None:
                 self.model.params = saved
@@ -551,6 +576,23 @@ class Trainer:
         if self.ema_params is None:
             return self.opt_state
         return {"tx": self.opt_state, "ema": self.ema_params}
+
+    def _train_extras(self) -> dict:
+        """Host-side training state that rides every checkpoint so a
+        resumed run continues exactly: histories, and the mid-eval
+        best/patience trackers — without these, a preemption-resume
+        would re-init best_map to -inf (the first post-resume eval
+        would then OVERWRITE best.* with worse weights) and reset the
+        early-stop patience clock."""
+        return {
+            "loss_history": self.loss_history,
+            "metrics_history": self.metrics_history,
+            "best_map": (
+                self.best_map if np.isfinite(self.best_map) else None
+            ),
+            "best_checkpoint_path": self.best_checkpoint_path,
+            "evals_since_best": self._evals_since_best,
+        }
 
     def train(self):
         train_cfg = self.config.train_config
@@ -602,8 +644,7 @@ class Trainer:
                             self._artifact_base(), self.config.run_name,
                             done_epoch, opt_state=self._ckpt_opt_state(),
                             extra={
-                                "loss_history": self.loss_history,
-                                "metrics_history": self.metrics_history,
+                                **self._train_extras(),
                                 # step-granular resume point: resume()
                                 # continues the cut epoch from here rather
                                 # than redoing it (epochs at PubLayNet
@@ -650,8 +691,7 @@ class Trainer:
                         path = self.model.save_checkpoint(
                             self._artifact_base(), self.config.run_name,
                             epoch + 1, opt_state=self._ckpt_opt_state(),
-                            extra={"loss_history": self.loss_history,
-                                   "metrics_history": self.metrics_history},
+                            extra=self._train_extras(),
                             writer=writer,
                         )
                         logger.info(
@@ -803,6 +843,16 @@ class Trainer:
         # whole metrics.jsonl each epoch, so a resume without it would
         # clobber every pre-resume record
         self.metrics_history = state["extra"].get("metrics_history", [])
+        # mid-eval best/patience trackers (see _train_extras): a resume
+        # must not regress best.* or restart the early-stop clock
+        bm = state["extra"].get("best_map")
+        self.best_map = float(bm) if bm is not None else float("-inf")
+        self.best_checkpoint_path = state["extra"].get(
+            "best_checkpoint_path"
+        )
+        self._evals_since_best = int(
+            state["extra"].get("evals_since_best", 0) or 0
+        )
         # mid-epoch resume point (preempt checkpoints; 0 = epoch boundary)
         self._start_step = int(state["extra"].get("step_in_epoch", 0) or 0)
         # logged-LR bookkeeping (the optimizer's own schedule count lives

@@ -295,3 +295,93 @@ def test_early_stopping_on_map_plateau(tmp_path):
         assert len(trainer.loss_history) == 4  # epochs 5..10 never ran
     finally:
         set_layout_dit_config(None)
+
+
+def test_early_stop_state_survives_resume(tmp_path):
+    """best_map / best_checkpoint_path / patience clock ride checkpoints:
+    a preemption-resume must not regress best.* (a worse post-resume eval
+    would otherwise count as a 'new best' from -inf and overwrite the
+    deployable weights) nor restart the early-stop counter."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=13)
+    write_fixture_config(root, epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.eval_interval = 1
+    cfg.train_config.checkpoint_interval = 1
+    set_layout_dit_config(cfg)
+    try:
+        trainer = Trainer(cfg, build_model(cfg))
+
+        class _Eval:
+            seq = iter([0.50, 0.40])  # best at epoch 1, worse at epoch 2
+
+            def score(self):
+                return {"mAP": next(self.seq)}
+
+        trainer._evaluator = _Eval()
+        trainer.train()
+        assert trainer.best_map == 0.50
+        assert trainer._evals_since_best == 1
+        best_path = trainer.best_checkpoint_path
+
+        t2 = Trainer(cfg, build_model(cfg))
+        t2.resume("auto")
+        assert t2.best_map == 0.50
+        assert t2.best_checkpoint_path == best_path
+        assert t2._evals_since_best == 1
+
+        # a worse post-resume eval must NOT overwrite best.*
+        class _Worse:
+            def score(self):
+                return {"mAP": 0.45}
+
+        t2._evaluator = _Worse()
+        t2._mid_eval(2)
+        assert t2.best_map == 0.50
+        assert t2.best_checkpoint_path == best_path
+        assert t2._evals_since_best == 2
+    finally:
+        set_layout_dit_config(None)
+
+
+def test_nan_evals_do_not_tick_patience_before_first_best(tmp_path):
+    """Mid-evals with no predictions (score() -> None, mAP NaN) must not
+    count toward early-stop patience until a finite best exists — a run
+    must never halt at best=-inf with no best.* checkpoint written."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=4, split="samples", seed=14)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.eval_interval = 1
+    cfg.train_config.early_stop_patience = 2
+    set_layout_dit_config(cfg)
+    try:
+        trainer = Trainer(cfg, build_model(cfg))
+
+        class _Seq:
+            def __init__(self, vals):
+                self.vals = iter(vals)
+
+            def score(self):
+                v = next(self.vals)
+                return None if v is None else {"mAP": v}
+
+        trainer._evaluator = _Seq([None, None])
+        trainer._mid_eval(0)
+        trainer._mid_eval(1)
+        assert trainer._evals_since_best == 0  # no finite best yet
+        assert trainer.best_checkpoint_path is None
+
+        trainer._evaluator = _Seq([0.3, None])
+        trainer._mid_eval(2)          # first finite best
+        assert trainer.best_map == 0.3
+        trainer._mid_eval(3)          # NaN after a best DOES tick
+        assert trainer._evals_since_best == 1
+    finally:
+        set_layout_dit_config(None)

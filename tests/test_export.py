@@ -46,6 +46,9 @@ def test_export_roundtrip(tiny, tmp_path):
     assert manifest["image_sizes"] == [64]
 
     art = ExportedDetector(path)
+    # weights must land on device ONCE at load — host numpy leaves would
+    # re-transfer the whole parameter set on every .call (serving path)
+    assert all(isinstance(leaf, jax.Array) for leaf in art._leaves)
     images = np.asarray(
         jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 64, 64)), np.float32
     )

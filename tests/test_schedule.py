@@ -116,6 +116,9 @@ def test_skip_nonfinite_trainer_e2e_checkpoint_roundtrip(tmp_path):
         t = Trainer(cfg, build_model(cfg))
         t.train()
         assert np.isfinite(t.loss_history[-1])
+        # observability: the skipped-step counter is surfaced per epoch
+        # in metrics.jsonl (0 here — the fixture data is clean)
+        assert t.metrics_history[-1]["skipped_nonfinite_steps"] == 0
         t2 = Trainer(cfg, build_model(cfg))
         t2.resume("auto")
         assert t2.epoch == 1

@@ -355,3 +355,14 @@ def test_serve_from_export_artifact(tmp_path):
     finally:
         httpd.shutdown()
         batcher.stop()
+
+
+def test_export_dir_rejects_sizes_and_batch_flags():
+    """--sizes/--batch-size contradict a frozen artifact's manifest —
+    rejected loudly (like --int8/--data-parallel/--model-parallel), not
+    silently ignored."""
+    from layoutdit_tpu.tools.serve import main
+
+    for extra in (["--sizes", "1024"], ["--batch-size", "16"]):
+        with pytest.raises(SystemExit, match="artifact manifest"):
+            main(["--export-dir", "/nonexistent"] + extra)
