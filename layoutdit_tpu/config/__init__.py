@@ -34,7 +34,12 @@ _REMOTE_CONFIG_PATH = "gs://layoutdit/layout_dit_config.json"
 
 
 def read_config_from_path(path: str) -> Optional[LayoutDitConfig]:
-    """Load a LayoutDitConfig from a local or fsspec path; None if absent."""
+    """Load a LayoutDitConfig from a local or fsspec path; None if absent.
+
+    ``.yaml``/``.yml`` files parse as YAML (the reference's own TODO —
+    README.md:75 "yaml config for improved human readability"); anything
+    else parses as JSON, which is also valid YAML, so the JSON surface
+    is unchanged."""
     import fsspec
 
     try:
@@ -42,9 +47,17 @@ def read_config_from_path(path: str) -> Optional[LayoutDitConfig]:
         if not fs.exists(paths[0]):
             return None
         with fs.open(paths[0], "r") as f:
-            config_dict = json.load(f)
+            if paths[0].endswith((".yaml", ".yml")):
+                import yaml
+
+                config_dict = yaml.safe_load(f)
+            else:
+                config_dict = json.load(f)
     except Exception as e:  # credentials / network / parse problems
         logger.warning("Could not read config from %s: %s", path, e)
+        return None
+    if not isinstance(config_dict, dict):
+        logger.warning("Config at %s is not a mapping; ignoring", path)
         return None
     return LayoutDitConfig(**config_dict)
 

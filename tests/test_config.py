@@ -85,3 +85,28 @@ def test_shipped_example_configs_parse():
     )
     assert tp_sp.mesh_config.sequence_parallel
     assert tp_sp.detection_model_config.backbone_type.value == "dit-large"
+
+
+def test_yaml_config(tmp_path):
+    """LAYOUTDIT_CONFIG may point at YAML (the reference's own TODO:
+    README.md:75) — same pydantic merge, same fields; non-mapping and
+    malformed files fall back to None like unreadable JSON."""
+    from layoutdit_tpu.config import read_config_from_path
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "train_config:\n"
+        "  learning_rate: 0.001\n"
+        "data_loader_config:\n"
+        "  batch_size: 6\n"
+        "detection_model_config:\n"
+        "  num_classes: 11\n"
+    )
+    cfg = read_config_from_path(str(p))
+    assert cfg.train_config.learning_rate == 0.001
+    assert cfg.data_loader_config.batch_size == 6
+    assert cfg.detection_model_config.num_classes == 11
+
+    bad = tmp_path / "list.yml"
+    bad.write_text("- just\n- a list\n")
+    assert read_config_from_path(str(bad)) is None
