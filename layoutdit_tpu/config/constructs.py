@@ -112,6 +112,13 @@ class MeshConfig(BaseModel):
     coordinator_address: str | None = None
     num_processes: int | None = None
     process_id: int | None = None
+    # Coordination-service timeouts (None -> jax defaults: heartbeat
+    # 100 s, shutdown barrier 300 s). Raise on hosts where a peer can
+    # legitimately stall — e.g. oversubscribed CPU CI, where one worker
+    # may sit compiling long past the other's shutdown barrier; too-low
+    # values kill an otherwise healthy run with a BarrierError.
+    heartbeat_timeout_s: int | None = None
+    shutdown_timeout_s: int | None = None
 
 
 class PrecisionConfig(BaseModel):

@@ -48,6 +48,13 @@ def maybe_distributed_init(cfg: MeshConfig) -> None:
             num_processes=cfg.num_processes,
             process_id=cfg.process_id,
         )
+    # coordination-service timeouts (constructs.py): a peer stalled in a
+    # long compile on an oversubscribed host must not trip the other
+    # process's shutdown barrier / heartbeat and kill a healthy run
+    if cfg.heartbeat_timeout_s is not None:
+        kwargs["heartbeat_timeout_seconds"] = int(cfg.heartbeat_timeout_s)
+    if cfg.shutdown_timeout_s is not None:
+        kwargs["shutdown_timeout_seconds"] = int(cfg.shutdown_timeout_s)
     try:
         jax.distributed.initialize(**kwargs)
         logger.info(

@@ -37,6 +37,7 @@ cfg = MeshConfig(
     coordinator_address=f"localhost:{port}",
     num_processes=2,
     process_id=pid,
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
 )
 maybe_distributed_init(cfg)
 assert jax.distributed.is_initialized()
@@ -141,6 +142,9 @@ from layoutdit_tpu.parallel.mesh import (
 maybe_distributed_init(MeshConfig(
     enable_distributed_init=True, coordinator_address=f"localhost:{port}",
     num_processes=2, process_id=pid,
+    # oversubscribed 1-core CI: a peer stalled in a long compile must not
+    # trip this process's shutdown barrier (default 300 s) mid-suite
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
 ))
 mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=1))
 
@@ -272,6 +276,9 @@ from layoutdit_tpu.parallel.mesh import (
 maybe_distributed_init(MeshConfig(
     enable_distributed_init=True, coordinator_address=f"localhost:{port}",
     num_processes=2, process_id=pid,
+    # oversubscribed 1-core CI: a peer stalled in a long compile must not
+    # trip this process's shutdown barrier (default 300 s) mid-suite
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
 ))
 mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=tp))
 rs, bs = replicated_sharding(mesh), batch_sharding(mesh)
@@ -465,6 +472,7 @@ cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture, "cfg.json"))))
 cfg.mesh_config = MeshConfig(
     enable_distributed_init=True, coordinator_address=f"localhost:{port}",
     num_processes=2, process_id=pid, data_parallel=2,
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
 )
 cfg.train_config.steps_per_dispatch = 1
 set_layout_dit_config(cfg)
@@ -554,6 +562,9 @@ from layoutdit_tpu.parallel.mesh import build_mesh, maybe_distributed_init
 maybe_distributed_init(MeshConfig(
     enable_distributed_init=True, coordinator_address=f"localhost:{port}",
     num_processes=2, process_id=pid,
+    # oversubscribed 1-core CI: a peer stalled in a long compile must not
+    # trip this process's shutdown barrier (default 300 s) mid-suite
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
 ))
 mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=1))
 

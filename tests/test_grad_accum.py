@@ -62,10 +62,14 @@ def test_accum_step_matches_manual_average(fixture_cfg):
     def loss_fn(p, r, im, bx, lb, vd):
         return sum(detector_loss(p, r, im, bx, lb, vd, dcfg).values())
 
+    # jit the oracle grad: eager op-by-op execution of the full detector
+    # backward is minutes on this 1-core host; the compile is shared by
+    # both micro-batch calls and lands in the persistent cache
+    gfn = jax.jit(jax.grad(loss_fn))
     grads = []
     for a in range(2):
         sl = slice(2 * a, 2 * a + 2)
-        g = jax.grad(loss_fn)(
+        g = gfn(
             model.params, rngs[a], images[sl], boxes[sl], labels[sl], valid[sl]
         )
         grads.append(jax.tree_util.tree_map(
@@ -123,8 +127,11 @@ def test_remat_grads_exact(fixture_cfg):
     def loss(p, c):
         return sum(detector_loss(p, rng, images, boxes, labels, valid, c).values())
 
-    l0, g0 = jax.value_and_grad(loss)(model.params, cfg0)
-    l1, g1 = jax.value_and_grad(loss)(model.params, cfg1)
+    # jit both sides (eager full-detector backward is minutes on CPU);
+    # cfg is trace-static via closure so each variant compiles its own
+    # graph — exactly what the equivalence claim is about
+    l0, g0 = jax.jit(lambda p: jax.value_and_grad(loss)(p, cfg0))(model.params)
+    l1, g1 = jax.jit(lambda p: jax.value_and_grad(loss)(p, cfg1))(model.params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
