@@ -105,6 +105,14 @@ class MeshConfig(BaseModel):
     # when TP is not wanted); numerics-neutral (tests/test_fsdp.py).
     # Composes with tensor parallelism (TP dims take precedence).
     fsdp: bool = False
+    # Hybrid ICI x DCN layout (multi-slice TPU pods / multi-host CPU):
+    # number of DCN granules (TPU slices when the runtime exposes
+    # slice_index, else host processes) the DATA axis spans. The granule
+    # dim is placed OUTERMOST on the data axis so model/pipe axes and the
+    # inner data shards stay inside one granule's ICI — only the
+    # once-per-step gradient all-reduce crosses the slow DCN links
+    # (scaling-book layout rule). 1 = flat single-granule mesh (default).
+    dcn_data_parallel: int = 1
     # Initialise jax.distributed (multi-host) when world size > 1.
     enable_distributed_init: bool = False
     # Explicit coordination (multi-host); None -> jax env-var / TPU-pod

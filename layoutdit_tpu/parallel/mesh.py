@@ -97,14 +97,22 @@ def data_axis_name(mesh: Mesh) -> str | None:
 
 
 def build_mesh(
-    cfg: MeshConfig, devices: list | None = None, strict: bool = False
+    cfg: MeshConfig, devices: list | None = None, strict: bool = False,
+    granule_fn=None,
 ) -> Mesh:
     """Mesh over all devices: ('data', 'model') axes (+ a trailing 'pipe'
     axis when pipeline_parallel > 1); data axis takes the remainder when
     data_parallel == -1. ``strict=True`` raises instead of silently
     falling back to Nx1 when the requested topology does not factor the
     device count — callers that promised the user a specific tp/pp degree
-    (the serve CLI) must not quietly deliver a different one."""
+    (the serve CLI) must not quietly deliver a different one.
+
+    When ``cfg.dcn_data_parallel > 1`` the mesh is HYBRID: devices are
+    grouped into DCN granules (TPU slices, else host processes — or an
+    explicit ``granule_fn(device) -> key`` in tests) and the granule dim
+    is laid outermost on the data axis, so model/pipe collectives and the
+    inner data shards ride ICI while only the gradient all-reduce's final
+    hierarchical stage crosses DCN (SURVEY.md §2.3 layout rule)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = max(1, cfg.model_parallel)
@@ -121,36 +129,125 @@ def build_mesh(
             dp, mp, pp, n, n,
         )
         dp, mp, pp = n, 1, 1
-    if pp > 1:
+    dcn = max(1, getattr(cfg, "dcn_data_parallel", 1))
+    if dcn > 1:
+        arr = _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn)
+    elif pp > 1:
         arr = np.asarray(devices).reshape(dp, mp, pp)
+    else:
+        arr = np.asarray(devices).reshape(dp, mp)
+    if pp > 1:
         return Mesh(arr, axis_names=(*cfg.axis_names, "pipe"))
-    arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=cfg.axis_names)
 
 
-def build_mesh_for_batch(cfg: MeshConfig, batch_size: int) -> Mesh:
+def _granule_key_fn(devices, granule_fn):
+    """How devices group into DCN granules: an injected test hook, else
+    TPU slice_index when it actually distinguishes slices, else the
+    owning host process. (CPU devices also expose slice_index, but it is
+    0 everywhere — a constant key is no grouping, so fall through.)"""
+    if granule_fn is not None:
+        return granule_fn
+    slices = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slices and len(slices) > 1:
+        return lambda d: d.slice_index
+    return lambda d: d.process_index
+
+
+def _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn):
+    """[dp, mp(, pp)] device array for a hybrid ICI x DCN mesh: data index
+    d = granule * dp_ici + inner, so a granule's devices are contiguous on
+    the data axis and every model/pipe neighbour shares its granule."""
+    if dp % dcn != 0:
+        raise ValueError(
+            f"dcn_data_parallel={dcn} must divide data_parallel={dp}"
+        )
+    key = _granule_key_fn(devices, granule_fn)
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    if len(groups) != dcn:
+        raise ValueError(
+            f"dcn_data_parallel={dcn} but devices form {len(groups)} "
+            f"granules ({sorted(groups)}) — one granule per slice/host"
+        )
+    per = dp // dcn * mp * pp
+    sizes = {k: len(v) for k, v in groups.items()}
+    if any(s != per for s in sizes.values()):
+        raise ValueError(
+            f"hybrid mesh needs {per} devices per granule "
+            f"(dp_ici={dp // dcn} x mp={mp} x pp={pp}), got {sizes}"
+        )
+    shape = (dp // dcn, mp, pp) if pp > 1 else (dp // dcn, mp)
+    blocks = [
+        _ici_device_array(groups[k], shape) for k in sorted(groups)
+    ]
+    return np.concatenate(blocks, axis=0)
+
+
+def _ici_device_array(group, shape):
+    """In-granule device layout: ICI-topology-aware order on real TPU
+    slices (mesh_utils wraps the torus so mesh neighbours are wire
+    neighbours), plain enumeration order elsewhere (CPU/1-chip)."""
+    group = list(group)
+    if len(group) > 1 and all(d.platform == "tpu" for d in group):
+        try:
+            from jax.experimental import mesh_utils
+
+            return mesh_utils.create_device_mesh(shape, devices=group)
+        except Exception as e:  # odd topology: fall back, stay correct
+            logger.warning("ICI-aware in-granule layout failed: %s", e)
+    return np.asarray(group).reshape(shape)
+
+
+def build_mesh_for_batch(
+    cfg: MeshConfig, batch_size: int, granule_fn=None
+) -> Mesh:
     """Mesh whose data axis divides ``batch_size`` (a global batch must
-    shard evenly); uses the largest usable device prefix."""
+    shard evenly); uses the largest usable device prefix (per granule on
+    hybrid meshes)."""
     devices = jax.devices()
     mp = max(1, cfg.model_parallel)
     pp = max(1, getattr(cfg, "pipeline_parallel", 1))
+    dcn = max(1, getattr(cfg, "dcn_data_parallel", 1))
     dp_max = (
         cfg.data_parallel if cfg.data_parallel > 0
         else len(devices) // (mp * pp)
     )
-    dp = max(d for d in range(1, dp_max + 1) if batch_size % d == 0)
+    # hybrid meshes can only clamp dp in whole granules (every granule
+    # must keep the same dp_ici x mp x pp shape), so step by dcn
+    candidates = [
+        d for d in range(dcn, dp_max + 1, dcn) if batch_size % d == 0
+    ]
+    if not candidates:
+        raise ValueError(
+            f"batch_size={batch_size} has no data-parallel degree that is "
+            f"a multiple of dcn_data_parallel={dcn} (<= {dp_max})"
+        )
+    dp = max(candidates)
     if dp != dp_max:
         logger.warning(
             "data_parallel clamped %d -> %d to divide batch_size=%d",
             dp_max, dp, batch_size,
         )
+    # hybrid: take each granule's device prefix, not the global prefix
+    # (the global prefix would put both data shards of a 2-granule mesh
+    # on granule 0 and idle granule 1 entirely)
+    if dcn > 1 and dp * mp * pp != len(devices):
+        key = _granule_key_fn(devices, granule_fn)
+        per = dp // dcn * mp * pp
+        groups: dict = {}
+        for d in devices:
+            groups.setdefault(key(d), []).append(d)
+        devices = [d for k in sorted(groups) for d in groups[k][:per]]
     return build_mesh(
         MeshConfig(
             data_parallel=dp, model_parallel=mp, pipeline_parallel=pp,
             pipeline_microbatches=getattr(cfg, "pipeline_microbatches", 4),
-            axis_names=cfg.axis_names,
+            axis_names=cfg.axis_names, dcn_data_parallel=dcn,
         ),
         devices=devices[: dp * mp * pp],
+        granule_fn=granule_fn,
     )
 
 

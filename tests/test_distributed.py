@@ -205,6 +205,14 @@ same = all(
     for a, b in zip(jax.tree_util.tree_leaves(state["params"]), leaves)
 )
 print("CKPT", pid, int(same), state["epoch"], flush=True)
+
+# hybrid ICI x DCN mesh with REAL process granules (no injected
+# granule_fn): 2 processes x 1 device -> 2 granules; the data axis must
+# order granule-major, i.e. data index i belongs to process i
+hy = build_mesh(MeshConfig(data_parallel=2, model_parallel=1,
+                           dcn_data_parallel=2))
+order_ok = all(hy.devices[i, 0].process_index == i for i in range(2))
+print("HYBRID", pid, int(order_ok), flush=True)
 """
 
 
@@ -233,7 +241,7 @@ def test_two_process_real_detector_step_and_orbax_roundtrip(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
 
-    results, ckpt = {}, {}
+    results, ckpt, hybrid = {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
@@ -242,11 +250,16 @@ def test_two_process_real_detector_step_and_orbax_roundtrip(tmp_path):
             if line.startswith("CKPT"):
                 _, pid, same, epoch = line.split()
                 ckpt[int(pid)] = (int(same), int(epoch))
+            if line.startswith("HYBRID"):
+                _, pid, ok = line.split()
+                hybrid[int(pid)] = int(ok)
     assert set(results) == {0, 1}, outs
     # the grad all-reduce spanned the process boundary: same loss, same
     # updated-params checksum on both processes
     np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
     assert ckpt == {0: (1, 1), 1: (1, 1)}, outs
+    # hybrid DCN mesh grouped by real process_index, granule-major
+    assert hybrid == {0: 1, 1: 1}, outs
 
 
 _WORKER_LOADER = r"""
