@@ -33,30 +33,49 @@ _layout_dit_config: Optional[LayoutDitConfig] = None
 _REMOTE_CONFIG_PATH = "gs://layoutdit/layout_dit_config.json"
 
 
-def read_config_from_path(path: str) -> Optional[LayoutDitConfig]:
+def read_config_from_path(
+    path: str, required: bool = False
+) -> Optional[LayoutDitConfig]:
     """Load a LayoutDitConfig from a local or fsspec path; None if absent.
 
     ``.yaml``/``.yml`` files parse as YAML (the reference's own TODO —
     README.md:75 "yaml config for improved human readability"); anything
     else parses as JSON, which is also valid YAML, so the JSON surface
-    is unchanged."""
+    is unchanged.
+
+    ``required=True`` (the explicit LAYOUTDIT_CONFIG path) RAISES on a
+    missing file, missing pyyaml, or a parse error — a user who pointed
+    at a config must never silently train on pydantic defaults. The
+    lenient mode is only for the best-effort gs:// probe (reference
+    parity: it tries GCS unconditionally and falls back)."""
     import fsspec
 
     try:
         fs, _, paths = fsspec.get_fs_token_paths(path)
         if not fs.exists(paths[0]):
+            if required:
+                raise FileNotFoundError(f"LAYOUTDIT_CONFIG={path} does not exist")
             return None
         with fs.open(paths[0], "r") as f:
             if paths[0].endswith((".yaml", ".yml")):
-                import yaml
-
+                try:
+                    import yaml
+                except ImportError as e:
+                    raise RuntimeError(
+                        f"{path} is YAML but pyyaml is not installed; "
+                        "install pyyaml or use a JSON config"
+                    ) from e
                 config_dict = yaml.safe_load(f)
             else:
                 config_dict = json.load(f)
     except Exception as e:  # credentials / network / parse problems
+        if required:
+            raise
         logger.warning("Could not read config from %s: %s", path, e)
         return None
     if not isinstance(config_dict, dict):
+        if required:
+            raise ValueError(f"Config at {path} is not a mapping")
         logger.warning("Config at %s is not a mapping; ignoring", path)
         return None
     return LayoutDitConfig(**config_dict)
@@ -73,7 +92,7 @@ def get_layout_dit_config() -> LayoutDitConfig:
     if _layout_dit_config is None:
         env_path = os.getenv("LAYOUTDIT_CONFIG")
         if env_path:
-            _layout_dit_config = read_config_from_path(env_path)
+            _layout_dit_config = read_config_from_path(env_path, required=True)
         if _layout_dit_config is None and os.getenv("LAYOUTDIT_SKIP_REMOTE_CONFIG") != "1":
             _layout_dit_config = read_config_from_gcs_if_exists()
         if _layout_dit_config is None:

@@ -50,11 +50,30 @@ def maybe_distributed_init(cfg: MeshConfig) -> None:
         )
     # coordination-service timeouts (constructs.py): a peer stalled in a
     # long compile on an oversubscribed host must not trip the other
-    # process's shutdown barrier / heartbeat and kill a healthy run
-    if cfg.heartbeat_timeout_s is not None:
-        kwargs["heartbeat_timeout_seconds"] = int(cfg.heartbeat_timeout_s)
-    if cfg.shutdown_timeout_s is not None:
-        kwargs["shutdown_timeout_seconds"] = int(cfg.shutdown_timeout_s)
+    # process's shutdown barrier / heartbeat and kill a healthy run.
+    # Signature-checked: on a jax too old to accept them, a TypeError
+    # here would be swallowed by the except below and silently turn
+    # multi-host OFF (every process as its own lead host) — drop the
+    # knob with a loud warning instead.
+    import inspect
+
+    try:
+        accepted = inspect.signature(jax.distributed.initialize).parameters
+    except (TypeError, ValueError):
+        accepted = {}
+    for name, val in (
+        ("heartbeat_timeout_seconds", cfg.heartbeat_timeout_s),
+        ("shutdown_timeout_seconds", cfg.shutdown_timeout_s),
+    ):
+        if val is None:
+            continue
+        if name in accepted:
+            kwargs[name] = int(val)
+        else:
+            logger.warning(
+                "this jax's distributed.initialize lacks %s; ignoring the "
+                "configured timeout", name,
+            )
     try:
         jax.distributed.initialize(**kwargs)
         logger.info(
@@ -125,11 +144,17 @@ def build_mesh(
                 f"{dp * mp * pp} devices, got {n}"
             )
         logger.warning(
-            "mesh %dx%dx%d != %d devices; falling back to %dx1",
+            "mesh %dx%dx%d != %d devices; falling back to %dx1 "
+            "(flat, dcn_data_parallel reset to 1)",
             dp, mp, pp, n, n,
         )
+        # the fallback is a degenerate flat mesh: keeping the user's dcn
+        # would validate it against a dp THEY never set (confusing error
+        # from a path documented to warn-and-fallback, not raise)
         dp, mp, pp = n, 1, 1
-    dcn = max(1, getattr(cfg, "dcn_data_parallel", 1))
+        dcn = 1
+    else:
+        dcn = max(1, getattr(cfg, "dcn_data_parallel", 1))
     if dcn > 1:
         arr = _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn)
     elif pp > 1:
@@ -154,14 +179,11 @@ def _granule_key_fn(devices, granule_fn):
     return lambda d: d.process_index
 
 
-def _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn):
-    """[dp, mp(, pp)] device array for a hybrid ICI x DCN mesh: data index
-    d = granule * dp_ici + inner, so a granule's devices are contiguous on
-    the data axis and every model/pipe neighbour shares its granule."""
-    if dp % dcn != 0:
-        raise ValueError(
-            f"dcn_data_parallel={dcn} must divide data_parallel={dp}"
-        )
+def _granules(devices, granule_fn, dcn, min_size):
+    """Group ``devices`` into exactly ``dcn`` granules of >= ``min_size``
+    devices each, ordered by granule key. The ONE place granule-count and
+    granule-size validation lives — every hybrid-mesh path goes through
+    it, so no path can silently idle a whole slice."""
     key = _granule_key_fn(devices, granule_fn)
     groups: dict = {}
     for d in devices:
@@ -171,17 +193,33 @@ def _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn):
             f"dcn_data_parallel={dcn} but devices form {len(groups)} "
             f"granules ({sorted(groups)}) — one granule per slice/host"
         )
-    per = dp // dcn * mp * pp
     sizes = {k: len(v) for k, v in groups.items()}
-    if any(s != per for s in sizes.values()):
+    if any(s < min_size for s in sizes.values()):
         raise ValueError(
-            f"hybrid mesh needs {per} devices per granule "
-            f"(dp_ici={dp // dcn} x mp={mp} x pp={pp}), got {sizes}"
+            f"hybrid mesh needs >= {min_size} devices per granule, "
+            f"got {sizes}"
+        )
+    return [groups[k] for k in sorted(groups)]
+
+
+def _hybrid_device_array(devices, dp, mp, pp, dcn, granule_fn):
+    """[dp, mp(, pp)] device array for a hybrid ICI x DCN mesh: data index
+    d = granule * dp_ici + inner, so a granule's devices are contiguous on
+    the data axis and every model/pipe neighbour shares its granule."""
+    if dp % dcn != 0:
+        raise ValueError(
+            f"dcn_data_parallel={dcn} must divide data_parallel={dp}"
+        )
+    per = dp // dcn * mp * pp
+    groups = _granules(devices, granule_fn, dcn, per)
+    if any(len(g) != per for g in groups):
+        raise ValueError(
+            f"hybrid mesh needs exactly {per} devices per granule "
+            f"(dp_ici={dp // dcn} x mp={mp} x pp={pp}), "
+            f"got {[len(g) for g in groups]}"
         )
     shape = (dp // dcn, mp, pp) if pp > 1 else (dp // dcn, mp)
-    blocks = [
-        _ici_device_array(groups[k], shape) for k in sorted(groups)
-    ]
+    blocks = [_ici_device_array(g, shape) for g in groups]
     return np.concatenate(blocks, axis=0)
 
 
@@ -232,14 +270,14 @@ def build_mesh_for_batch(
         )
     # hybrid: take each granule's device prefix, not the global prefix
     # (the global prefix would put both data shards of a 2-granule mesh
-    # on granule 0 and idle granule 1 entirely)
+    # on granule 0 and idle granule 1 entirely). _granules validates
+    # granule count and minimum size — a topology whose granules don't
+    # match dcn must raise here exactly like it does in build_mesh, not
+    # quietly train on a subset of slices.
     if dcn > 1 and dp * mp * pp != len(devices):
-        key = _granule_key_fn(devices, granule_fn)
         per = dp // dcn * mp * pp
-        groups: dict = {}
-        for d in devices:
-            groups.setdefault(key(d), []).append(d)
-        devices = [d for k in sorted(groups) for d in groups[k][:per]]
+        groups = _granules(devices, granule_fn, dcn, per)
+        devices = [d for g in groups for d in g[:per]]
     return build_mesh(
         MeshConfig(
             data_parallel=dp, model_parallel=mp, pipeline_parallel=pp,

@@ -110,3 +110,30 @@ def test_yaml_config(tmp_path):
     bad = tmp_path / "list.yml"
     bad.write_text("- just\n- a list\n")
     assert read_config_from_path(str(bad)) is None
+
+
+def test_explicit_env_config_fails_loud(tmp_path, monkeypatch):
+    """An explicit LAYOUTDIT_CONFIG that is missing or malformed must
+    RAISE, never silently train on pydantic defaults (the lenient
+    fallback is only for the best-effort gs:// probe)."""
+    import pytest
+
+    set_layout_dit_config(None)
+    monkeypatch.setenv("LAYOUTDIT_CONFIG", str(tmp_path / "nope.json"))
+    with pytest.raises(FileNotFoundError):
+        get_layout_dit_config()
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    monkeypatch.setenv("LAYOUTDIT_CONFIG", str(bad))
+    set_layout_dit_config(None)
+    with pytest.raises(Exception):
+        get_layout_dit_config()
+
+    lst = tmp_path / "list.yaml"
+    lst.write_text("- a\n- b\n")
+    monkeypatch.setenv("LAYOUTDIT_CONFIG", str(lst))
+    set_layout_dit_config(None)
+    with pytest.raises(ValueError):
+        get_layout_dit_config()
+    set_layout_dit_config(None)

@@ -120,3 +120,26 @@ def test_hybrid_build_mesh_for_batch_clamps_in_granules():
             MeshConfig(data_parallel=-1, dcn_data_parallel=2),
             batch_size=5, granule_fn=_two_granules,
         )
+
+
+def test_nonstrict_fallback_resets_dcn():
+    """The documented warn-and-fallback contract survives dcn>1: a
+    topology that doesn't factor falls back to a flat Nx1 mesh instead
+    of raising a dcn-vs-fallback-dp error the user never configured."""
+    mesh = build_mesh(
+        MeshConfig(data_parallel=3, model_parallel=1, dcn_data_parallel=3),
+        granule_fn=_two_granules,
+    )
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_build_mesh_for_batch_granule_mismatch_raises():
+    """The per-granule prefix path validates granule count like
+    build_mesh does — a dcn that doesn't match the real topology must
+    raise, not silently idle whole slices."""
+    with pytest.raises(ValueError, match="granules"):
+        build_mesh_for_batch(
+            MeshConfig(data_parallel=4, model_parallel=1,
+                       dcn_data_parallel=4),
+            batch_size=4, granule_fn=_two_granules,  # only 2 granules
+        )
