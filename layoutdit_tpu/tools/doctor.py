@@ -22,11 +22,36 @@ import json
 import os
 import sys
 
-os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
-
 
 def _result(name: str, status: str, detail: str) -> dict:
     return {"check": name, "status": status, "detail": detail}
+
+
+def _with_timeout(fn, timeout_s: float):
+    """(finished, value_or_exception) for ``fn()`` run on a daemon thread.
+
+    Every doctor check that can block on a dead external dependency — a
+    wedged device tunnel, a blackholed GCS endpoint, gcsfs retry
+    backoff — runs through here so the doctor itself always terminates."""
+    import threading
+
+    done = threading.Event()
+    box: dict = {}
+
+    def run():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # report, never propagate from the thread
+            box["error"] = e
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+    if not done.wait(timeout_s):
+        return False, None
+    if "error" in box:
+        raise box["error"]
+    return True, box.get("value")
 
 
 def check_config() -> dict:
@@ -48,39 +73,31 @@ def check_config() -> dict:
 
 
 def check_backend(timeout_s: float) -> dict:
-    import threading
-
-    done = threading.Event()
     # the axon-style failure mode is a device enumeration that hangs
-    # with no error; a daemon watchdog lets the doctor report it
-    out: dict = {}
-
+    # with no error; the watchdog lets the doctor report it
     def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
+        import jax
+        import jax.numpy as jnp
 
-            devs = jax.devices()
-            x = jnp.ones((64, 64))
-            float((x @ x).sum())  # one real dispatch, not just enumeration
-            out["platform"] = devs[0].platform
-            out["n"] = len(devs)
-            out["kind"] = getattr(devs[0], "device_kind", "?")
-        except Exception as e:  # pragma: no cover - backend specific
-            out["error"] = f"{type(e).__name__}: {e}"
-        finally:
-            done.set()
+        devs = jax.devices()
+        x = jnp.ones((64, 64))
+        float((x @ x).sum())  # one real dispatch, not just enumeration
+        return {
+            "platform": devs[0].platform,
+            "n": len(devs),
+            "kind": getattr(devs[0], "device_kind", "?"),
+        }
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
+    try:
+        finished, out = _with_timeout(probe, timeout_s)
+    except Exception as e:  # pragma: no cover - backend specific
+        return _result("backend", "FAIL", f"{type(e).__name__}: {e}")
+    if not finished:
         return _result(
             "backend", "FAIL",
             f"device init + 1 dispatch did not finish in {timeout_s:.0f}s "
             "(tunnel/runtime wedged?)",
         )
-    if "error" in out:
-        return _result("backend", "FAIL", out["error"])
     status = "OK" if out["platform"] == "tpu" else "WARN"
     return _result(
         "backend", status,
@@ -89,26 +106,49 @@ def check_backend(timeout_s: float) -> dict:
     )
 
 
-def check_mesh() -> dict:
-    try:
+def check_mesh(timeout_s: float = 60.0) -> dict:
+    # only called after check_backend succeeded, but jax.devices() is
+    # still watchdogged: a tunnel can wedge between the two checks
+    def probe():
+        import jax
+
         from layoutdit_tpu.config import get_layout_dit_config
         from layoutdit_tpu.parallel.mesh import build_mesh_for_batch
 
         cfg = get_layout_dit_config()
         bs = cfg.data_loader_config.batch_size
         mesh = build_mesh_for_batch(cfg.mesh_config, bs)
+        return cfg, bs, mesh, len(jax.devices())
+
+    try:
+        finished, out = _with_timeout(probe, timeout_s)
     except Exception as e:
         return _result("mesh", "FAIL", f"{type(e).__name__}: {e}")
-    import jax
-
+    if not finished:
+        return _result(
+            "mesh", "FAIL", f"mesh build did not finish in {timeout_s:.0f}s"
+        )
+    cfg, bs, mesh, total = out
     used = mesh.devices.size
-    total = len(jax.devices())
     shape = dict(mesh.shape)
     if used < total:
+        # distinguish WHY devices idle: an explicit sub-total topology in
+        # the config is a choice; a data axis clamped below the device
+        # budget by an indivisible batch is a fixable mistake
+        mc = cfg.mesh_config
+        mp = max(1, mc.model_parallel) * max(1, mc.pipeline_parallel)
+        dp_max = mc.data_parallel if mc.data_parallel > 0 else total // mp
+        if mesh.shape[mesh.axis_names[0]] < dp_max:
+            return _result(
+                "mesh", "WARN",
+                f"{shape} uses {used}/{total} devices: batch_size={bs} "
+                f"clamps the data axis below {dp_max} — pick a batch "
+                f"divisible by it",
+            )
         return _result(
             "mesh", "WARN",
-            f"{shape} uses {used}/{total} devices (batch_size={bs} clamps "
-            "the data axis — pick a batch divisible by the device count)",
+            f"{shape} uses {used}/{total} devices (explicit mesh_config "
+            "topology — raise data_parallel to use the rest)",
         )
     return _result("mesh", "OK", f"{shape} over {used} devices, batch={bs}")
 
@@ -134,16 +174,14 @@ def check_native() -> dict:
 
 
 def check_compile_cache() -> dict:
-    cache = os.environ.get("LAYOUTDIT_JAX_CACHE")
+    # EXACTLY the runtime's resolution (main.py) — probing any other
+    # directory would vouch for a cache the run never touches
+    cache = os.environ.get(
+        "LAYOUTDIT_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "layoutdit_jax"),
+    )
     if cache == "0":
         return _result("compile-cache", "WARN", "disabled (LAYOUTDIT_JAX_CACHE=0)")
-    if not cache:
-        import layoutdit_tpu
-
-        cache = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(layoutdit_tpu.__file__))),
-            ".jax_cache",
-        )
     try:
         os.makedirs(cache, exist_ok=True)
         probe = os.path.join(cache, ".doctor_probe")
@@ -156,18 +194,30 @@ def check_compile_cache() -> dict:
     return _result("compile-cache", "OK", f"{cache} writable, {n} entries")
 
 
-def _probe_path(kind: str, path: str | None) -> dict:
+def _probe_path(kind: str, path: str | None, timeout_s: float = 15.0) -> dict:
     if not path:
         return _result(f"io:{kind}", "WARN", "not configured")
-    try:
+
+    def probe():
         import fsspec
 
         fs, _, paths = fsspec.get_fs_token_paths(path)
-        exists = fs.exists(paths[0])
+        return fs.exists(paths[0])
+
+    try:
+        # watchdogged: a blackholed endpoint / gcsfs retry backoff can
+        # stall an exists() for minutes — the doctor must not
+        finished, exists = _with_timeout(probe, timeout_s)
     except Exception as e:
         return _result(
             f"io:{kind}", "WARN",
             f"{path}: {type(e).__name__}: {e} (credentials/egress?)",
+        )
+    if not finished:
+        return _result(
+            f"io:{kind}", "WARN",
+            f"{path}: probe still hanging after {timeout_s:.0f}s "
+            "(endpoint unreachable?)",
         )
     if not exists:
         return _result(f"io:{kind}", "WARN", f"{path} does not exist (yet)")
@@ -187,25 +237,36 @@ def check_io() -> list[dict]:
     ]
 
 
-def check_checkpoints() -> dict:
-    try:
+def check_checkpoints(timeout_s: float = 15.0) -> dict:
+    def probe():
         from layoutdit_tpu.config import get_layout_dit_config
         from layoutdit_tpu.train.checkpoint import list_resume_candidates
 
         cfg = get_layout_dit_config()
-        base = cfg.eval_config.eval_base_path
-        if not base:
-            return _result("checkpoints", "WARN", "eval_base_path not set")
+        # the trainer's fallback exactly (Trainer._artifact_base):
+        # eval_base_path=None means artifacts land under "."
+        base = cfg.eval_config.eval_base_path or "."
         root = f"{base.rstrip('/')}/{cfg.run_name}/model_checkpoints"
-        cands = list_resume_candidates(root)
+        return list_resume_candidates(root)
+
+    try:
+        finished, cands = _with_timeout(probe, timeout_s)
     except Exception as e:
         return _result("checkpoints", "WARN", f"{type(e).__name__}: {e}")
+    if not finished:
+        return _result(
+            "checkpoints", "WARN",
+            f"listing still hanging after {timeout_s:.0f}s",
+        )
     if not cands:
         return _result("checkpoints", "OK", "none yet (fresh run)")
-    newest = max(cands)
+    # cands is best-first — cands[0] is what --resume auto will load
+    # (max() would re-derive the rank and can tie-break differently)
+    best = cands[0]
     return _result(
         "checkpoints", "OK",
-        f"{len(cands)} resumable, newest epoch {newest[0]} at {newest[2]}",
+        f"{len(cands)} resumable, --resume auto picks epoch {best[0]} "
+        f"at {best[2]}",
     )
 
 
@@ -224,10 +285,18 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--json", action="store_true", help="machine output")
     args = parser.parse_args(argv)
 
+    os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+
     results = [check_config()]
     if not args.skip_backend:
-        results.append(check_backend(args.backend_timeout))
-        results.append(check_mesh())  # needs an initialised backend
+        backend = check_backend(args.backend_timeout)
+        results.append(backend)
+        if backend["status"] == "FAIL":
+            # a wedged backend would hang the unwatchdogged parts of the
+            # mesh build too — report the dependency instead of risking it
+            results.append(_result("mesh", "WARN", "skipped: backend FAILed"))
+        else:
+            results.append(check_mesh())
     results.append(check_native())
     results.append(check_compile_cache())
     results.extend(check_io())
