@@ -116,6 +116,17 @@ def nms_mask(
 
     num_tiles = n_pad // TILE_
     tri = jnp.triu(jnp.ones((TILE_, TILE_), bool), k=1)
+
+    if num_tiles == 1:
+        # Single tile: the cross-tile pass is vacuous (no earlier boxes).
+        # Skipping it matters beyond trace size: XLA unrolls the would-be
+        # trip-count-1 loop, turning `keep0 & (positions < 0)` into an
+        # all-false constant whose broadcast+and+any chain the HLO
+        # evaluator then constant-folds for seconds per jit (the
+        # pred[B,n_pad,n_pad] reduce-window slow_operation_alarm).
+        kept = _within_tile_greedy(overlap_all & tri, valid_s)
+        return jnp.zeros((n,), bool).at[order].set(kept[:n])
+
     positions = jnp.arange(n_pad)
 
     def tile_step(i, keep):
