@@ -51,6 +51,31 @@ class LayoutDetectionModel:
         self.params = init_detector_params(jax.random.PRNGKey(seed), self.cfg)
 
         ckpt = previous_layout_dit_checkpoint or model_config.previous_layout_dit_checkpoint
+        if not ckpt:
+            # The reference ALWAYS builds on pretrained DiT weights
+            # (AutoModel.from_pretrained, dit_backbone.py:26-31). With zero
+            # egress the download must happen elsewhere; when the bytes are
+            # present locally (LAYOUTDIT_DIT_{BASE,LARGE}_PTH) use them by
+            # default, matching the reference's warm-start semantics.
+            from layoutdit_tpu.config.constructs import BackboneType
+            from layoutdit_tpu.tools.convert_hf_checkpoint import local_checkpoint
+
+            from layoutdit_tpu.models import vit as vit_mod
+
+            preset = {
+                BackboneType.DIT: "dit-base",
+                BackboneType.DIT_LARGE: "dit-large",
+            }.get(model_config.backbone_type)
+            full_size = preset and self.cfg.backbone.vit == (
+                vit_mod.DIT_LARGE if preset == "dit-large" else vit_mod.DIT_BASE
+            )
+            if full_size:
+                ckpt = local_checkpoint(preset)
+                if ckpt:
+                    logger.info(
+                        "Warm-starting from local pretrained %s checkpoint %s "
+                        "(env LAYOUTDIT_DIT_*_PTH)", preset, ckpt,
+                    )
         if ckpt:
             self.load_dit_encoder(ckpt)
 

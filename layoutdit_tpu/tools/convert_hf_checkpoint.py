@@ -35,6 +35,78 @@ IGNORABLE = ("pooler.", "embeddings.mask_token", "layernorm.")
 
 PRESETS = {"dit-base", "dit-large"}
 
+# Local pretrained-bytes pointer: when set, the converter (and the trainer's
+# warm start, main.py) use this checkpoint without any flag. This narrows
+# the zero-egress gap to the download alone: drop the file anywhere, export
+# the env var, everything downstream works (VERDICT r3 next-round #3).
+CKPT_ENV = {
+    "dit-base": "LAYOUTDIT_DIT_BASE_PTH",
+    "dit-large": "LAYOUTDIT_DIT_LARGE_PTH",
+}
+
+
+def local_checkpoint(preset: str = "dit-base") -> str | None:
+    """Path to a locally cached HF checkpoint for ``preset``, if the
+    ``LAYOUTDIT_DIT_{BASE,LARGE}_PTH`` env var points at an existing file
+    (legacy alias ``LAYOUTDIT_DIT_BASE_CKPT`` also honoured)."""
+    names = [CKPT_ENV[preset]]
+    if preset == "dit-base":
+        names.append("LAYOUTDIT_DIT_BASE_CKPT")
+    for name in names:
+        path = os.environ.get(name)
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
+def expected_manifest(preset: str) -> dict[str, list[int]]:
+    """The HF ``BeitModel`` state_dict tree (names AND shapes) implied by
+    the preset's architecture, derived from ``models.vit`` config alone.
+
+    This is the independent structural oracle for the committed
+    ``manifests/{preset}_hf_manifest.json`` files: the manifests were
+    captured from real HF models, this function re-derives them from the
+    documented BEiT parameterisation (per layer: biasless K, q/k/v,
+    attention output, MLP in/out, two layernorms, layer-scale lambdas;
+    embeddings: cls+mask tokens, patch projection, absolute positions for
+    197 = 1 + (224/16)^2 tokens; plus the non-backbone pooler layernorm).
+    """
+    from layoutdit_tpu.models import vit as vit_mod
+
+    cfg = vit_mod.DIT_LARGE if preset == "dit-large" else vit_mod.DIT_BASE
+    d, m = cfg.hidden_size, cfg.intermediate_size
+    p, c = cfg.patch_size, cfg.num_channels
+    tokens = 1 + (cfg.image_size // p) ** 2
+    keys: dict[str, list[int]] = {
+        "embeddings.cls_token": [1, 1, d],
+        "embeddings.mask_token": [1, 1, d],
+        "embeddings.patch_embeddings.projection.weight": [d, c, p, p],
+        "embeddings.patch_embeddings.projection.bias": [d],
+        "embeddings.position_embeddings": [1, tokens, d],
+        "pooler.layernorm.weight": [d],
+        "pooler.layernorm.bias": [d],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"encoder.layer.{i}."
+        keys[pre + "attention.attention.query.weight"] = [d, d]
+        keys[pre + "attention.attention.query.bias"] = [d]
+        keys[pre + "attention.attention.key.weight"] = [d, d]  # biasless K
+        keys[pre + "attention.attention.value.weight"] = [d, d]
+        keys[pre + "attention.attention.value.bias"] = [d]
+        keys[pre + "attention.output.dense.weight"] = [d, d]
+        keys[pre + "attention.output.dense.bias"] = [d]
+        keys[pre + "intermediate.dense.weight"] = [m, d]
+        keys[pre + "intermediate.dense.bias"] = [m]
+        keys[pre + "output.dense.weight"] = [d, m]
+        keys[pre + "output.dense.bias"] = [d]
+        keys[pre + "layernorm_before.weight"] = [d]
+        keys[pre + "layernorm_before.bias"] = [d]
+        keys[pre + "layernorm_after.weight"] = [d]
+        keys[pre + "layernorm_after.bias"] = [d]
+        keys[pre + "lambda_1"] = [d]
+        keys[pre + "lambda_2"] = [d]
+    return keys
+
 
 def _manifest_path(preset: str) -> str:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -129,11 +201,20 @@ def convert(src: str, preset: str, out: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("src", help="HF state_dict (.bin/.pth/.safetensors)")
+    ap.add_argument(
+        "src", nargs="?", default=None,
+        help="HF state_dict (.bin/.pth/.safetensors); defaults to "
+             "$LAYOUTDIT_DIT_{BASE,LARGE}_PTH for the chosen preset",
+    )
     ap.add_argument("--preset", choices=sorted(PRESETS), default="dit-base")
     ap.add_argument("--out", required=True, help="output .msgpack path")
     args = ap.parse_args()
-    convert(args.src, args.preset, args.out)
+    src = args.src or local_checkpoint(args.preset)
+    if not src:
+        ap.error(
+            f"no source checkpoint: pass a path or set {CKPT_ENV[args.preset]}"
+        )
+    convert(src, args.preset, args.out)
 
 
 if __name__ == "__main__":
