@@ -657,3 +657,183 @@ def test_two_process_dp_eval_matches_single_process(tmp_path):
     assert oracle is not None
     for k, v in oracle.items():
         np.testing.assert_allclose(results[0][k], v, atol=1e-6, err_msg=k)
+
+
+_WORKER_FOUR = r"""
+import os, sys, json
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ.setdefault("LAYOUTDIT_SKIP_REMOTE_CONFIG", "1")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+pid = int(sys.argv[1]); port = sys.argv[2]; fixture = sys.argv[3]
+from layoutdit_tpu.config.constructs import MeshConfig
+from layoutdit_tpu.parallel.mesh import (
+    batch_sharding, build_mesh, maybe_distributed_init, replicated_sharding,
+)
+
+maybe_distributed_init(MeshConfig(
+    enable_distributed_init=True, coordinator_address=f"localhost:{port}",
+    num_processes=4, process_id=pid,
+    # 4 workers oversubscribe the 1-core CI host hard; a peer stuck in a
+    # compile must not trip this process's coordination barriers
+    heartbeat_timeout_s=300, shutdown_timeout_s=540,
+))
+assert jax.process_count() == 4 and jax.device_count() == 4
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---- 4-way DP step equality (vs numpy oracle in the parent) ----
+mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=1))
+bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+x_global = np.arange(8 * 3, dtype=np.float32).reshape(8, 3) / 10.0
+y_global = np.arange(8, dtype=np.float32).reshape(8, 1)
+lo, hi = pid * 2, (pid + 1) * 2
+x = jax.make_array_from_process_local_data(bs, x_global[lo:hi])
+y = jax.make_array_from_process_local_data(bs, y_global[lo:hi])
+w = jax.device_put(np.ones((3, 1), np.float32), rs)
+
+@jax.jit
+def step(w, x, y):
+    def loss(w):
+        return jnp.mean((x @ w - y) ** 2)
+    l, g = jax.value_and_grad(loss)(w)
+    return l, w - 0.1 * g
+
+for _ in range(4):
+    l, w = step(w, x, y)
+print("RESULT", pid, float(l), *np.asarray(w).ravel().tolist(), flush=True)
+
+# ---- hybrid DCN meshes with granules AUTODETECTED from process ids ----
+# 4 processes x 1 device, CPU slice_index is uniformly 0 -> the granule
+# key falls through to process_index: dcn=4 forms one granule per host,
+# granule-major on the data axis; dcn=2 cannot form (4 process-granules)
+# and must fail loudly rather than silently idle hosts.
+hy = build_mesh(MeshConfig(data_parallel=4, model_parallel=1,
+                           dcn_data_parallel=4))
+order_ok = all(hy.devices[i, 0].process_index == i for i in range(4))
+try:
+    build_mesh(MeshConfig(data_parallel=4, model_parallel=1,
+                          dcn_data_parallel=2))
+    mismatch_raises = 0
+except ValueError:
+    mismatch_raises = 1
+print("HYBRID", pid, int(order_ok), mismatch_raises, flush=True)
+
+# ---- full production trainer across 4 hosts ----
+from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+
+cfg = LayoutDitConfig(**json.load(open(os.path.join(fixture, "cfg.json"))))
+cfg.mesh_config = MeshConfig(data_parallel=4)
+cfg.train_config.steps_per_dispatch = 1
+set_layout_dit_config(cfg)
+from layoutdit_tpu.models.model import build_model
+from layoutdit_tpu.train.trainer import Trainer
+
+model = build_model(cfg)
+trainer = Trainer(cfg, model)
+trainer.train()
+leaves = jax.tree_util.tree_leaves(model.params)
+checksum = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32))) for a in leaves))
+print("TRAINER", pid, checksum,
+      *[f"{l:.6f}" for l in trainer.loss_history], flush=True)
+
+# ---- --resume auto agreement across 4 hosts ----
+# every host lists the SHARED run dir, allgathers the newest-checkpoint
+# signature (trainer.resume), and resumes from the same epoch
+model2 = build_model(cfg)
+trainer2 = Trainer(cfg, model2)
+trainer2.resume("auto")
+leaves2 = jax.tree_util.tree_leaves(model2.params)
+ck2 = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32))) for a in leaves2))
+print("RESUME", pid, trainer2.epoch, ck2, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_four_process_dp_trainer_and_resume_auto(tmp_path):
+    """4 gloo processes (VERDICT r3 next-round #4): 4-way DP step equality
+    vs a single-process numpy oracle, hybrid meshes whose granules are
+    autodetected from REAL process ids (no injected granule_fn) with the
+    granule/dcn mismatch raising loudly, the full production Trainer over
+    a dp=4 mesh with lead-host-only artifacts, and 4-host --resume auto
+    agreement on the shared run directory."""
+    import glob
+
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=4,
+                         tiny_model=True)
+    worker = tmp_path / "worker4.py"
+    worker.write_text(_WORKER_FOUR)
+    cache = os.path.join(REPO, ".jax_cache")
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path),
+             cache],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results, hybrid, trainer, resume = {}, {}, {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            tag, *rest = line.split()
+            if tag == "RESULT":
+                results[int(rest[0])] = [float(v) for v in rest[1:]]
+            elif tag == "HYBRID":
+                hybrid[int(rest[0])] = tuple(int(v) for v in rest[1:])
+            elif tag == "TRAINER":
+                trainer[int(rest[0])] = [float(v) for v in rest[1:]]
+            elif tag == "RESUME":
+                resume[int(rest[0])] = [float(v) for v in rest[1:]]
+
+    assert set(results) == {0, 1, 2, 3}, outs
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(results[0], results[i], rtol=1e-6)
+    # single-process oracle for the 4-way-sharded step
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3) / 10.0
+    y = np.arange(8, dtype=np.float32).reshape(8, 1)
+    w = np.ones((3, 1), np.float32)
+    for _ in range(4):
+        pred = x @ w
+        loss = float(np.mean((pred - y) ** 2))
+        w = w - 0.1 * (2.0 * x.T @ (pred - y) / 8.0)
+    np.testing.assert_allclose(results[0], [loss, *w.ravel()], rtol=1e-4)
+
+    # granule-major device order from real process ids + loud mismatch
+    assert hybrid == {i: (1, 1) for i in range(4)}, outs
+
+    # identical training trajectory on every host
+    assert set(trainer) == {0, 1, 2, 3}, outs
+    assert len(trainer[0]) >= 2
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(trainer[0], trainer[i], rtol=1e-5)
+
+    # all four hosts agreed on the same resume point and restored the
+    # exact trained params (epoch 1 checkpoint)
+    assert set(resume) == {0, 1, 2, 3}, outs
+    for i in range(4):
+        assert resume[i][0] == 1.0, resume[i]
+        np.testing.assert_allclose(resume[i][1], trainer[0][0], rtol=1e-6)
+
+    # artifacts written exactly once (lead host)
+    ckpts = glob.glob(str(tmp_path / "fixture" / "model_checkpoints" / "*"))
+    assert len(ckpts) == 1 and ckpts[0].endswith("epoch_1.msgpack"), ckpts
+    assert (tmp_path / "fixture" / "metrics" / "metrics.jsonl").exists()
