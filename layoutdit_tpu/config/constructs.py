@@ -193,12 +193,16 @@ class TrainingConfig(BaseModel):
     # with runs that have it off.
     skip_nonfinite_updates: int = 0
     # Batches executed per device dispatch (lax.scan inside one jit call).
-    # >1 amortizes host->device dispatch latency — important on remote
-    # backends where each call costs a round trip. Default from the
-    # 1024-image sweep (scripts/sweep_dispatch.py, PERF_STAGES.md):
-    # S=4 is +16% steady-state vs S=1; S>=8 loses to host assemble on a
-    # 1-core host. Epoch remainders still run the plain single-step path.
-    steps_per_dispatch: int = 4
+    # >1 amortizes host->device dispatch latency — it matters ONLY on
+    # remote/tunneled backends where each call costs a round trip. The
+    # measured basis (scripts/sweep_dispatch.py, PERF_STAGES.md): behind
+    # the axon tunnel (~30-50 ms/dispatch) S=4 is +16% steady-state vs
+    # S=1; on a local backend (~0.1 ms dispatch) batching dispatches buys
+    # nothing and costs host-side super-batch assembly. Default 0 = AUTO:
+    # the trainer probes dispatch latency once at startup and picks S=4
+    # when a round trip costs >= 1 ms, else S=1 (VERDICT r3 item 8).
+    # Epoch remainders still run the plain single-step path.
+    steps_per_dispatch: int = 0
 
     # Gradient accumulation: split each global batch into this many
     # micro-batches inside the jitted step, average their gradients, and

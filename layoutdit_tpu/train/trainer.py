@@ -153,6 +153,37 @@ class _PreemptionGuard:
         return False
 
 
+def resolve_steps_per_dispatch(value: int, threshold_ms: float = 1.0) -> int:
+    """Resolve TrainingConfig.steps_per_dispatch=0 (auto) to a concrete S.
+
+    Measures the per-call dispatch round trip of an already-compiled
+    trivial program (median of 5 after 2 warm-up calls — remote backends
+    load a fresh executable lazily, so the first calls measure program
+    load, not dispatch). Batching S train steps into one lax.scan
+    dispatch only pays when the round trip itself is expensive: >= 1 ms
+    picks the tunnel-measured S=4 (+16%, PERF_STAGES.md sweep); a local
+    backend (~0.1 ms) picks S=1 and skips the host-side super-batch
+    assembly. Explicit values pass through untouched."""
+    if value > 0:
+        return value
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    for _ in range(2):
+        f(x).block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    lat_ms = sorted(times)[len(times) // 2] * 1e3
+    s = 4 if lat_ms >= threshold_ms else 1
+    logger.info(
+        "steps_per_dispatch auto: median dispatch %.3f ms -> S=%d",
+        lat_ms, s,
+    )
+    return s
+
+
 class Trainer:
     def __init__(self, config: LayoutDitConfig, model: LayoutDetectionModel):
         import fsspec
@@ -185,6 +216,13 @@ class Trainer:
             config.mesh_config, config.data_loader_config.batch_size
         )
         logger.info("Device mesh: %s", self.mesh)
+
+        # resolve steps_per_dispatch=0 (auto) ONCE, before the loader and
+        # the jitted step are built around it; write the decision back so
+        # logs/metrics/resume all see the concrete value
+        config.train_config.steps_per_dispatch = resolve_steps_per_dispatch(
+            config.train_config.steps_per_dispatch
+        )
 
         # place params per the mesh: replicated for pure DP, Megatron-style
         # tensor-parallel over the 'model' axis when model_parallel > 1

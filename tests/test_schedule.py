@@ -186,3 +186,17 @@ def test_adam_mu_dtype_rejects_unknown():
         make_optimizer(
             TrainingConfig(adam_mu_dtype="float16"), steps_per_epoch=1
         )
+
+
+def test_steps_per_dispatch_auto_resolution():
+    """steps_per_dispatch=0 (auto) probes dispatch latency: sub-ms local
+    backends resolve to S=1, tunnel-class latency to S=4; explicit
+    values pass through (VERDICT r3 item 8)."""
+    from layoutdit_tpu.train.trainer import resolve_steps_per_dispatch
+
+    assert resolve_steps_per_dispatch(2) == 2
+    assert resolve_steps_per_dispatch(4) == 4
+    # CPU backend in the suite: dispatch is tens of microseconds
+    assert resolve_steps_per_dispatch(0) == 1
+    # a tunnel-class threshold makes the same probe pick S=4
+    assert resolve_steps_per_dispatch(0, threshold_ms=0.0) == 4
