@@ -40,6 +40,7 @@ class LayoutDetectionModel:
         device: Optional[str] = None,
         compute_dtype: str = "bfloat16",
         seed: int = 0,
+        warm_start: bool = True,
     ):
         import fsspec
 
@@ -51,13 +52,18 @@ class LayoutDetectionModel:
         self.params = init_detector_params(jax.random.PRNGKey(seed), self.cfg)
 
         ckpt = previous_layout_dit_checkpoint or model_config.previous_layout_dit_checkpoint
-        if not ckpt:
+        if not ckpt and warm_start:
             # The reference ALWAYS builds on pretrained DiT weights
             # (AutoModel.from_pretrained, dit_backbone.py:26-31). With zero
             # egress the download must happen elsewhere; when the bytes are
             # present locally (LAYOUTDIT_DIT_{BASE,LARGE}_PTH) use them by
             # default, matching the reference's warm-start semantics.
-            from layoutdit_tpu.config.constructs import BackboneType
+            # ``warm_start=False`` skips this probe entirely — callers that
+            # immediately restore a full fine-tuned checkpoint (predict/
+            # serve/export) must not pay a torch import + full HF-checkpoint
+            # convert only to overwrite every parameter moments later.
+            import dataclasses
+
             from layoutdit_tpu.tools.convert_hf_checkpoint import local_checkpoint
 
             from layoutdit_tpu.models import vit as vit_mod
@@ -66,16 +72,27 @@ class LayoutDetectionModel:
                 BackboneType.DIT: "dit-base",
                 BackboneType.DIT_LARGE: "dit-large",
             }.get(model_config.backbone_type)
-            full_size = preset and self.cfg.backbone.vit == (
-                vit_mod.DIT_LARGE if preset == "dit-large" else vit_mod.DIT_BASE
-            )
-            if full_size:
+            ref = vit_mod.DIT_LARGE if preset == "dit-large" else vit_mod.DIT_BASE
+            # Encoder weights are size-independent (pos-embeds are
+            # interpolated at forward time, weights_io/vit), so compare the
+            # architecture with image_size masked out — a 1024 px fine-tune
+            # must still warm-start.
+            arch_match = preset and dataclasses.replace(
+                self.cfg.backbone.vit, image_size=ref.image_size
+            ) == ref
+            if arch_match:
                 ckpt = local_checkpoint(preset)
                 if ckpt:
                     logger.info(
                         "Warm-starting from local pretrained %s checkpoint %s "
                         "(env LAYOUTDIT_DIT_*_PTH)", preset, ckpt,
                     )
+            elif preset and local_checkpoint(preset):
+                logger.warning(
+                    "Local pretrained %s checkpoint present but the configured "
+                    "encoder architecture differs from the preset "
+                    "(vit_overrides?) — training from random init.", preset,
+                )
         if ckpt:
             self.load_dit_encoder(ckpt)
 
@@ -165,10 +182,16 @@ class LayoutDetectionModel:
         return state
 
 
-def build_model(config, seed: int = 0) -> LayoutDetectionModel:
-    """Construct from the top-level LayoutDitConfig (main.py parity)."""
+def build_model(
+    config, seed: int = 0, warm_start: bool = True
+) -> LayoutDetectionModel:
+    """Construct from the top-level LayoutDitConfig (main.py parity).
+
+    ``warm_start=False`` skips the local-pretrained-checkpoint probe; use
+    it when a full ``restore_checkpoint`` immediately follows."""
     return LayoutDetectionModel(
         model_config=config.detection_model_config,
         compute_dtype=config.precision.compute_dtype,
         seed=seed,
+        warm_start=warm_start,
     )

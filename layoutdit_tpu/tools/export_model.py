@@ -45,7 +45,9 @@ def main(argv=None) -> None:
 
     logger = get_logger(__name__)
     cfg = get_layout_dit_config()
-    model = build_model(cfg, seed=cfg.train_config.seed)
+    model = build_model(
+        cfg, seed=cfg.train_config.seed, warm_start=not args.checkpoint
+    )
     if args.checkpoint:
         model.restore_checkpoint(args.checkpoint)
 

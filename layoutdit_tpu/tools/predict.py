@@ -104,7 +104,7 @@ def run(args) -> list[dict]:
     from layoutdit_tpu.models.model import build_model
 
     config = get_layout_dit_config()
-    model = build_model(config)
+    model = build_model(config, warm_start=False)
     model.restore_checkpoint(args.checkpoint)
     logger.info("Loaded checkpoint %s", args.checkpoint)
 

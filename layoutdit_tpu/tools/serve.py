@@ -406,7 +406,7 @@ def main(argv=None) -> None:
         from layoutdit_tpu.models.model import build_model
 
         config = get_layout_dit_config()
-        model = build_model(config)
+        model = build_model(config, warm_start=False)
         model.restore_checkpoint(args.checkpoint)
     elif (args.int8 or args.data_parallel or args.model_parallel > 1
           or args.sizes is not None or args.batch_size is not None):

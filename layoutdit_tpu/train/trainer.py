@@ -177,6 +177,15 @@ def resolve_steps_per_dispatch(value: int, threshold_ms: float = 1.0) -> int:
         times.append(time.perf_counter() - t0)
     lat_ms = sorted(times)[len(times) // 2] * 1e3
     s = 4 if lat_ms >= threshold_ms else 1
+    if jax.process_count() > 1:
+        # The probe is per-process wall clock; hosts under different load
+        # could resolve different S, building mismatched programs (A scans
+        # 4-step super-batches while B single-steps -> divergent collective
+        # sequences deadlock the first all-reduce). Process 0 decides for
+        # everyone.
+        from jax.experimental import multihost_utils
+
+        s = int(multihost_utils.broadcast_one_to_all(jnp.int32(s)))
     logger.info(
         "steps_per_dispatch auto: median dispatch %.3f ms -> S=%d",
         lat_ms, s,
@@ -630,6 +639,11 @@ class Trainer:
             ),
             "best_checkpoint_path": self.best_checkpoint_path,
             "evals_since_best": self._evals_since_best,
+            # the RESOLVED dispatch batching: a resumed run must replay the
+            # exact rng stream (_run_epoch folds rng per dispatch), so an
+            # auto probe that flips S across the preemption boundary would
+            # silently break bitwise resume — resume() re-adopts this value
+            "steps_per_dispatch": self.config.train_config.steps_per_dispatch,
         }
 
     def train(self):
@@ -893,6 +907,21 @@ class Trainer:
         )
         # mid-epoch resume point (preempt checkpoints; 0 = epoch boundary)
         self._start_step = int(state["extra"].get("step_in_epoch", 0) or 0)
+        # adopt the original run's RESOLVED steps_per_dispatch: with the
+        # auto probe a restarted host could resolve a different S, and the
+        # per-step rng stream depends on S (multi_step splits rng inside
+        # the scan) — bitwise resume requires replaying the same batching
+        saved_s = int(state["extra"].get("steps_per_dispatch", 0) or 0)
+        cur_s = self.config.train_config.steps_per_dispatch
+        if saved_s and saved_s != cur_s:
+            logger.info(
+                "Resume: adopting checkpoint steps_per_dispatch=%d "
+                "(this process resolved %d); rebuilding loader + step",
+                saved_s, cur_s,
+            )
+            self.config.train_config.steps_per_dispatch = saved_s
+            self._build_dataloader()
+            self._build_train_step()
         # logged-LR bookkeeping (the optimizer's own schedule count lives
         # in opt_state and is restored with it; this only feeds metrics)
         self._total_updates = (

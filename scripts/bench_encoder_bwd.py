@@ -89,9 +89,12 @@ def fwd(x, p, remat=False):
 def fwd_bwd(remat):
     def f(x, p):
         loss, grads = jax.value_and_grad(lambda p_: fwd(x, p_, remat))(p)
+        # EVERY leaf must feed the output: depending only on the first
+        # leaf (cls_token grad = pure dX chain) lets XLA dead-code-
+        # eliminate all the dW GEMMs — half the backward FLOPs
         return loss + sum(
             g.astype(jnp.float32).ravel()[0]
-            for g in jax.tree_util.tree_leaves(grads)[:1]
+            for g in jax.tree_util.tree_leaves(grads)
         )
 
     return f

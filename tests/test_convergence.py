@@ -39,6 +39,11 @@ def test_synthetic_fixture_multiepoch_convergence(tmp_path):
                                     batch_size=8, tiny_model=True)
     cfg = LayoutDitConfig(**json.load(open(cfg_path)))
     cfg.eval_config.eval_input = "val"
+    # write_fixture_config sets local_mode=True, which reroutes TRAINING
+    # to eval_input (the reference's sample-split semantics) — here that
+    # would silently train on the 32-page val split and measure
+    # memorization. Train on the real 128-page split.
+    cfg.local_mode = False
     cfg.train_config.checkpoint_interval = 48
     # the calibrated fine-tune recipe (cosine decay + brief warmup; the
     # default StepLR step_size=10 decays 10x too early for a 48-epoch run)

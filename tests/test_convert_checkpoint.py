@@ -153,6 +153,50 @@ def test_env_checkpoint_warm_starts_model_by_default(dit_base_ckpt, monkeypatch)
     )
 
 
+def test_env_checkpoint_warm_starts_at_other_image_sizes(
+    dit_base_ckpt, monkeypatch
+):
+    """Encoder weights are size-independent (pos-embeds interpolate at
+    forward time), so a 1024 px fine-tune — the headline high-res config —
+    must still auto warm-start; comparing the full ViTConfig (which
+    includes image_size) used to silently skip it."""
+    path, hf_model = dit_base_ckpt
+    monkeypatch.setenv("LAYOUTDIT_DIT_BASE_PTH", path)
+
+    from layoutdit_tpu.config.constructs import ModelConfig
+    from layoutdit_tpu.models.model import LayoutDetectionModel
+
+    model = LayoutDetectionModel(
+        ModelConfig(image_size=1024), compute_dtype="float32"
+    )
+    want = hf_model.state_dict()["embeddings.cls_token"].numpy().reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(model.params["backbone"]["vit"]["cls_token"]), want
+    )
+
+
+def test_warm_start_false_skips_probe(dit_base_ckpt, monkeypatch):
+    """predict/serve/export restore a full checkpoint immediately after
+    build_model: warm_start=False must skip the local-checkpoint probe
+    entirely (no torch import, no discarded convert work)."""
+    path, _ = dit_base_ckpt
+    monkeypatch.setenv("LAYOUTDIT_DIT_BASE_PTH", path)
+
+    from layoutdit_tpu.config.constructs import ModelConfig
+    from layoutdit_tpu.models import model as model_mod
+
+    def boom(preset):
+        raise AssertionError("local_checkpoint probed despite warm_start=False")
+
+    import layoutdit_tpu.tools.convert_hf_checkpoint as conv_mod
+
+    monkeypatch.setattr(conv_mod, "local_checkpoint", boom)
+    m = model_mod.LayoutDetectionModel(
+        ModelConfig(), compute_dtype="float32", warm_start=False
+    )
+    assert m.params["backbone"]["vit"]["cls_token"].shape == (768,)
+
+
 def test_env_checkpoint_ignored_for_mismatched_architecture(
     dit_base_ckpt, monkeypatch
 ):

@@ -794,6 +794,8 @@ def test_four_process_dp_trainer_and_resume_auto(tmp_path):
     results, hybrid, trainer, resume = {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
+            if not line.strip():
+                continue
             tag, *rest = line.split()
             if tag == "RESULT":
                 results[int(rest[0])] = [float(v) for v in rest[1:]]

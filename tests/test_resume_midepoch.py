@@ -132,6 +132,55 @@ def test_midepoch_resume_matches_uninterrupted_run(tmp_path):
         set_layout_dit_config(None)
 
 
+def test_resume_adopts_checkpoint_steps_per_dispatch(tmp_path):
+    """The rng stream depends on the resolved S (multi_step splits rng
+    inside its scan), so a resume whose auto probe lands on a different
+    steps_per_dispatch than the original run must adopt the checkpointed
+    value — otherwise bitwise resume silently breaks."""
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=5)
+    write_fixture_config(root, epochs=3, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.train_config.checkpoint_interval = 100
+    cfg.train_config.steps_per_dispatch = 2  # original run: S=2
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        real_dispatch = trainer._dispatch
+        calls = {"n": 0}
+
+        def dispatch_then_sigterm(*a, **kw):
+            out = real_dispatch(*a, **kw)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        trainer._dispatch = dispatch_then_sigterm
+        trainer.train()
+
+        import glob
+
+        ckpt = glob.glob(os.path.join(
+            root, "fixture", "model_checkpoints", "*_preempt.msgpack"
+        ))[0]
+
+        # restarted process resolves S=1 (different harness conditions)
+        cfg.train_config.steps_per_dispatch = 1
+        model2 = build_model(cfg)
+        trainer2 = Trainer(cfg, model2)
+        assert trainer2.dataloader.stack_batches == 1
+        trainer2.resume(ckpt)
+        assert cfg.train_config.steps_per_dispatch == 2
+        assert trainer2.dataloader.stack_batches == 2
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_resume_keeps_metrics_history(tmp_path):
     """metrics.jsonl must survive preempt+resume: _save_metrics rewrites
     the whole file per epoch, so resume() restores metrics_history."""

@@ -196,7 +196,9 @@ def test_steps_per_dispatch_auto_resolution():
 
     assert resolve_steps_per_dispatch(2) == 2
     assert resolve_steps_per_dispatch(4) == 4
-    # CPU backend in the suite: dispatch is tens of microseconds
-    assert resolve_steps_per_dispatch(0) == 1
+    # CPU backend in the suite: dispatch is tens of microseconds, but the
+    # 1-core CI host can stall a wall-clock median under contention — use
+    # a generous explicit threshold so only the BRANCH is under test
+    assert resolve_steps_per_dispatch(0, threshold_ms=50.0) == 1
     # a tunnel-class threshold makes the same probe pick S=4
     assert resolve_steps_per_dispatch(0, threshold_ms=0.0) == 4
