@@ -83,7 +83,11 @@ def nms_mask(
       [N] bool keep-mask in the ORIGINAL box order.
     """
     n = boxes.shape[0]
-    TILE_ = tile
+    # Clamp the tile to the candidate count (rounded up to the 128-lane
+    # multiple): a tile wider than N only pads the within-tile [T, T]
+    # fixpoint with all-false rows — e.g. 64 candidates under the default
+    # tile of 512 would run a 512x512 sweep where a 128x128 one suffices.
+    TILE_ = min(tile, (n + 127) // 128 * 128)
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-scores, stable=True)
