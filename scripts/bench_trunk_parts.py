@@ -22,7 +22,14 @@ def timed(name, fn):
     def run(images):
         def body(i, acc):
             out = fn(images + acc * 1e-30)
-            return jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).ravel()[0] * 1e-30
+            # consume EVERY leaf: depending only on the first tap (layer 4)
+            # lets XLA dead-code-eliminate layers 5-12 — this bug inflated
+            # the round-2 "encoder 2.96 ms / 166 TF/s" figure (real 12-layer
+            # fwd is ~6.4 ms / 87 TF/s, scripts/bench_encoder_bwd.py)
+            return sum(
+                l.astype(jnp.float32).ravel()[0]
+                for l in jax.tree_util.tree_leaves(out)
+            ) * 1e-30
         return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0.0))
     np.asarray(run(images))
     ts = []
