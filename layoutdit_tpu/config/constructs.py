@@ -330,10 +330,12 @@ class ModelConfig(BaseModel):
     detection_budget: DetectionBudget = DetectionBudget()
 
     # Attention implementation: "auto" (measured per-shape crossover:
-    # XLA einsum at base res, Pallas flash kernel from ~1k tokens),
-    # force "xla" / "pallas", or "ring" (exact sequence-sharded context
-    # parallelism over the SP token axis — requires
-    # mesh_config.sequence_parallel; ops/ring_attention.py).
+    # XLA einsum below ~2k tokens, Pallas flash kernel from ~2k tokens),
+    # force "xla" / "pallas" / "short" (single-block fused kernel —
+    # measured SLOWER than XLA at N=197, kept opt-in; ATTENTION_BENCH.md),
+    # or "ring" (exact sequence-sharded context parallelism over the SP
+    # token axis — requires mesh_config.sequence_parallel;
+    # ops/ring_attention.py).
     attention_impl: str = "auto"
     # RoI pooler: "xla" or "pallas" (fused VMEM kernel).
     roi_impl: str = "xla"

@@ -268,15 +268,19 @@ def _attention(
 
     if impl == "auto":
         # measured v5e crossover (ATTENTION_BENCH.md): XLA's batched
-        # matmuls win at base-res token counts, the flash kernel from
-        # ~1k tokens (high-res document pages)
+        # matmuls win at base-res token counts — including vs the fused
+        # single-block short kernel, whose 128-lane padding (197->256,
+        # 1.69x scores FLOPs) and backward P-recompute cost more than
+        # the avoided HBM score round trip saves — and the blockwise
+        # flash kernel wins from ~2k tokens (high-res document pages).
         from layoutdit_tpu.ops.flash_attention import AUTO_FLASH_MIN_SEQ
 
         impl = "pallas" if n >= AUTO_FLASH_MIN_SEQ else "xla"
         if impl == "pallas" and jax.default_backend() != "tpu":
             # Mosaic kernels only compile for TPU; on the CPU backend
             # (tests, local dev) "auto" must stay on the XLA path —
-            # explicit impl="pallas" still works via interpret mode.
+            # explicit impl="pallas"/"short" still works via interpret
+            # mode.
             impl = "xla"
 
     if impl == "ring":
@@ -296,6 +300,17 @@ def _attention(
         ctx = ring_attention_sharded(
             q, k, v, seq_sharding, scale=1.0 / np.sqrt(hd)
         )
+    elif impl == "short":
+        # base-resolution fused kernel: softmax(QK^T)V in one VMEM pass,
+        # O(N^2) tensors never reach HBM (ops/short_attention.py)
+        if rel_bias is not None:
+            raise ValueError(
+                "attention_impl='short' is bias-free by design; rel-pos-"
+                "bias checkpoints use the xla/flash paths"
+            )
+        from layoutdit_tpu.ops import short_attention as _sa
+
+        ctx = _sa.short_attention(q, k, v, scale=1.0 / np.sqrt(hd))
     elif impl == "pallas":
         from layoutdit_tpu.ops.flash_attention import flash_attention
 
