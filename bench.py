@@ -81,9 +81,10 @@ def main() -> None:
     # scan unroll: chains N step bodies per scan iteration so XLA keeps
     # carried params in compute-friendly layouts across them instead of
     # round-tripping the canonical carry layout every step (the trace
-    # showed ~5 ms/step of param copy-starts at unroll=1; measured
-    # 336.9 / 343.5 / 362.9 img/s at unroll 1 / 5 / 10). Full unroll is
-    # still real sequential training — params chain step to step.
+    # showed ~5 ms/step of param copy-starts at unroll=1). The old sweep
+    # (336.9/343.5/362.9 at unroll 1/5/10) predates the dropped-carry DCE
+    # fix below and overstates the high-unroll end. Full unroll is still
+    # real sequential training — params chain step to step.
     unroll = int(os.environ.get("BENCH_UNROLL", steps))
 
     cfg = DetectorConfig(compute_dtype="bfloat16")
@@ -115,37 +116,47 @@ def main() -> None:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state, key):
         keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
             one_step, (params, opt_state), keys, unroll=unroll
         )
-        return losses
+        # The final carry MUST be a jit output: with it unused, the LAST
+        # step's backward + AdamW update feed nothing and XLA dead-code-
+        # eliminates them (~1/steps of bwd+opt work — measured ~4-9%
+        # inflation; the retracted pre-fix headline was 370.7). Donated
+        # inputs + state threaded call-to-call below = the trainer's
+        # exact dispatch semantics (no output copy, buffers alias).
+        return params, opt_state, losses
 
     # compile + warmup (excluded from timing). TWO warm-up calls: the
     # axon tunnel's remote program load can slow the first ~2 invocations
     # of a fresh executable (memory: per-executable warm-up), and a spare
     # steady-state call costs <1 s.
     for k in (1, 11):
-        losses = run(params, opt_state, jax.random.PRNGKey(k))
+        params, opt_state, losses = run(params, opt_state, jax.random.PRNGKey(k))
         _ = np.asarray(losses)
 
     # min over several timed calls: a single ~0.45 s dispatch rides one
     # tunnel round trip (20-50 ms here, run-to-run), which alone swings a
     # one-shot reading by ±5%. The min of 5 approaches the true device
     # time at < 3 s extra cost; on a local backend (~0.1 ms dispatch) the
-    # 5 calls agree to noise.
+    # 5 calls agree to noise. State threads run-to-run (donated), so the
+    # whole session is one continuous 70-step training trajectory.
     dts = []
-    final = float("nan")
+    finals = []
     for k in (2, 3, 5, 7, 13):
         t0 = time.time()
-        losses = run(params, opt_state, jax.random.PRNGKey(k))
-        final = float(np.asarray(losses)[-1])  # forces full completion
+        params, opt_state, losses = run(params, opt_state, jax.random.PRNGKey(k))
+        finals.append(float(np.asarray(losses)[-1]))  # forces completion
         dts.append(time.time() - t0)
 
     imgs_per_sec = batch * steps / min(dts)
-    assert np.isfinite(final), "train loss diverged during bench"
+    # every timed run must be finite — min(dts) may come from any of them
+    assert np.isfinite(finals).all(), f"train loss diverged during bench: {finals}"
     print(
         json.dumps(
             {

@@ -83,6 +83,11 @@ def nms_mask(
       [N] bool keep-mask in the ORIGINAL box order.
     """
     n = boxes.shape[0]
+    if n == 0:
+        # zero-trip fori_loop still TRACES its body, and the in-body
+        # dynamic_slice is ill-shaped at n=0 — return the empty mask
+        # directly (shapes are static, so this is a trace-time branch)
+        return jnp.zeros((0,), bool)
     # Clamp the tile to the candidate count (rounded up to the 128-lane
     # multiple): a tile wider than N only pads the within-tile [T, T]
     # fixpoint with all-false rows — e.g. 64 candidates under the default

@@ -28,8 +28,9 @@ inputs — contributions cancel exactly and no NaN can leak into dk/dv
 
 STATUS — measured and NOT routed by default (ATTENTION_BENCH.md,
 "Short-sequence fused kernel"): at the production shape (b=16 N=197)
-the on-chip numbers are fwd 0.880 vs XLA 0.820 ms, fwd+bwd 1.170 vs
-0.912 ms. The 128-lane padding (197 -> 256 = 1.69x scores FLOPs) plus
+the on-chip numbers are fwd 0.888 vs XLA 0.790 ms, fwd+bwd 1.129 vs
+0.862 ms (encoder-level: 8.78 vs 7.46 fwd). The 128-lane padding
+(197 -> 256 = 1.69x scores FLOPs) plus
 the backward's P-recompute (a 5th matmul vs XLA reusing autodiff-stored
 probs) cost more than the avoided ~30 MB/layer HBM score round trip
 saves at this size. Kept as the opt-in ``attention_impl="short"`` for
@@ -47,15 +48,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from layoutdit_tpu.ops.flash_attention import _ceil_to
+
 NEG_INF = -1e30
 
 # per-cell VMEM budget for picking G (heads per grid cell): operands
 # [G, Np, D] bf16 + two [Np, Np] f32 score tiles per in-flight head
 _VMEM_BUDGET = 8 * 1024 * 1024
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _pick_group(bh: int, n_pad: int) -> int:

@@ -5,10 +5,10 @@ base-resolution shape (224 px dit pages -> N=197, ViT-base heads).
 Measures the isolated op (fwd, fwd+bwd) and the FULL 12-layer encoder
 (attention_impl "xla" vs "short", fwd and fwd+bwd), on device. This is
 the measurement that DECIDED AGAINST routing ``attention_impl="auto"``
-to the short kernel below the flash crossover: XLA won (fwd 0.820 vs
-0.880 ms, fwd+bwd 0.912 vs 1.170 ms at b=16 N=197 — see
-ATTENTION_BENCH.md "Short-sequence fused kernel"), so "short" is
-opt-in only.
+to the short kernel below the flash crossover: XLA won (op fwd 0.790
+vs 0.888 ms, fwd+bwd 0.862 vs 1.129 ms; full encoder fwd 7.46 vs
+8.78 ms at b=16 N=197 — see ATTENTION_BENCH.md "Short-sequence fused
+kernel"), so "short" is opt-in only.
 
 Usage: python scripts/bench_short_attention.py
 """
@@ -48,7 +48,9 @@ def timeit(f, q, k, v, steps=30):
     @jax.jit
     def run(q, k, v):
         def body(i, acc):
-            out = f(q + acc * jnp.bfloat16(1e-30), k, v)
+            # perturbation cast back to q.dtype: `q + f32_scalar` would
+            # silently promote the whole benchmark to f32 attention
+            out = f(q + (acc * 1e-30).astype(q.dtype), k, v)
             return acc * 0 + out.astype(jnp.float32).sum() * jnp.float32(1e-30)
 
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
@@ -71,7 +73,7 @@ def timeit_bwd(f, q, k, v, steps=30):
     @jax.jit
     def run(q, k, v):
         def body(i, acc):
-            gq, gk, gv = g(q + acc * jnp.bfloat16(1e-30), k, v)
+            gq, gk, gv = g(q + (acc * 1e-30).astype(q.dtype), k, v)
             tot = sum(x.astype(jnp.float32).sum() for x in (gq, gk, gv))
             return acc * 0 + tot * jnp.float32(1e-30)
 
@@ -111,13 +113,18 @@ def encoder_times(impl: str, x, params, cfg, steps=10):
             )[0].astype(jnp.float32) ** 2
         ).sum()
 
-    g = jax.grad(loss, argnums=1)
+    # grads wrt params AND x, every leaf consumed — dropping the dW grads
+    # would let XLA dead-code-eliminate the weight-gradient GEMMs and the
+    # "fwd+bwd" row would not measure a real training backward
+    g = jax.grad(loss, argnums=(0, 1))
 
     @jax.jit
     def fb(params, x):
         def body(i, acc):
-            gx = g(params, x + acc * jnp.float32(1e-30))
-            return acc * 0 + gx.astype(jnp.float32).sum() * jnp.float32(1e-30)
+            gp, gx = g(params, x + acc * jnp.float32(1e-30))
+            leaves = jax.tree_util.tree_leaves(gp) + [gx]
+            tot = sum(l.astype(jnp.float32).sum() for l in leaves)
+            return acc * 0 + tot * jnp.float32(1e-30)
 
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 

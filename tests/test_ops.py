@@ -196,6 +196,16 @@ def test_nms_valid_mask():
     assert keep.tolist() == [True, False]
 
 
+def test_nms_empty_input():
+    # N=0 must return an empty mask, not divide by zero in the tile-count
+    # arithmetic (regression: the tile clamp made TILE_=0 at n=0).
+    keep = np.asarray(
+        nms_mask(jnp.zeros((0, 4), jnp.float32), jnp.zeros((0,), jnp.float32),
+                 0.5)
+    )
+    assert keep.shape == (0,)
+
+
 # --------------------------------------------------------------- roi_align
 
 

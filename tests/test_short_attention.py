@@ -34,10 +34,11 @@ def test_forward_matches_reference(rng, n):
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("bh", [(1, 3), (2, 4), (4, 12)])
+@pytest.mark.parametrize("bh", [(1, 3), (1, 2), (1, 4), (2, 4), (4, 12)])
 def test_head_grouping_shapes(rng, bh):
-    # bh product exercises group picks g in {1, 8}; parity must hold for
-    # each _pick_group outcome.
+    # bh products 3/2/4/8/48 pick g = 1/2/4/8/8 — parity must hold for
+    # EVERY _pick_group outcome (a grouping bug specific to one g must
+    # not slip through).
     b, h = bh
     n, d = 197, 32
     q, k, v = (_rand(rng, (b, n, h, d)) for _ in range(3))
