@@ -346,6 +346,12 @@ class ModelConfig(BaseModel):
     # stage's boxes. Empty = plain Faster R-CNN (reference parity).
     cascade_iou_threshs: list[float] = []
 
+    # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
+    # head on PubLayNet's segmentation polygons and return per-detection
+    # masks at inference. Requires the data pipeline's mask path
+    # (DataLoaderConfig.load_masks follows this automatically).
+    with_mask: bool = False
+
     # Rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~1/3 extra encoder FLOPs for O(layers) -> O(1) activation
     # memory — the standard lever for high-res training (4k+ tokens)

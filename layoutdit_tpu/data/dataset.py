@@ -30,11 +30,20 @@ PUBLAY_NET_DATASET_ITEM_TYPE = tuple[np.ndarray, dict]
 
 
 class PubLayNetDataset:
-    def __init__(self, images_root_dir: str, annotations_json_path: str):
+    def __init__(
+        self,
+        images_root_dir: str,
+        annotations_json_path: str,
+        with_segmentation: bool = False,
+    ):
         import fsspec
 
         # seam for local-fs / GCS duality, as in the reference (:19)
         self.fs_open: Callable = fsspec.open
+        # Mask R-CNN training needs the segmentation field, which the
+        # native parser deliberately skips — force the json.loads path
+        # (slower parse, paid once) when masks are requested.
+        self.with_segmentation = with_segmentation
 
         @retry_io
         def _read_annotations_bytes():
@@ -55,7 +64,11 @@ class PubLayNetDataset:
         # the arrays directly).
         from layoutdit_tpu.native import cocojson
 
-        arr = cocojson.parse_coco_bytes(raw) if cocojson.available() else None
+        arr = (
+            cocojson.parse_coco_bytes(raw)
+            if cocojson.available() and not with_segmentation
+            else None
+        )
         self._arr = arr
         self._coco_data = None
         self._annotations = None
@@ -135,7 +148,10 @@ class PubLayNetDataset:
         return arr.transpose(2, 0, 1)
 
     def load_target(self, img_id) -> dict:
-        """Boxes/labels for one image (degenerate boxes dropped)."""
+        """Boxes/labels for one image (degenerate boxes dropped). With
+        ``with_segmentation`` the dict also carries the raw COCO
+        ``segmentation`` entries, row-aligned with the kept boxes
+        (rasterized later by the pipeline — data/masks.py)."""
         if self._arr is not None:
             lo = np.searchsorted(self._ann_img_sorted, img_id, "left")
             hi = np.searchsorted(self._ann_img_sorted, img_id, "right")
@@ -159,11 +175,20 @@ class PubLayNetDataset:
             boxes_np = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
             labels_np = np.asarray(labels, dtype=np.int64)
         keep = (boxes_np[:, 2] > boxes_np[:, 0]) & (boxes_np[:, 3] > boxes_np[:, 1])
-        return {
+        out = {
             "boxes": boxes_np[keep],
             "labels": labels_np[keep],
             "image_id": np.asarray([img_id]),
         }
+        if self.with_segmentation:
+            if self._arr is not None:
+                raise RuntimeError(
+                    "segmentation requested but the native parse dropped it"
+                )  # unreachable: __init__ forces the json path
+            anns = self.annotations.get(img_id, [])
+            segs = [ann.get("segmentation") for ann in anns]
+            out["segmentation"] = [s for s, k in zip(segs, keep) if k]
+        return out
 
     def __getitem__(self, idx: int) -> PUBLAY_NET_DATASET_ITEM_TYPE:
         img_id = self.ids[idx]

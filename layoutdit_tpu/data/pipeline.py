@@ -41,6 +41,9 @@ class DetectionBatch:
     image_ids: np.ndarray  # [B] int64
     orig_sizes: np.ndarray  # [B, 2] float32 (height, width)
     image_valid: np.ndarray  # [B] bool (False = batch padding)
+    # [B, G, M, M] uint8 GT bitmasks on the model-space grid (Mask R-CNN
+    # branch; None unless the loader runs with load_masks=True)
+    gt_masks: np.ndarray | None = None
 
 
 def prepare_example(
@@ -104,7 +107,17 @@ class DetectionLoader:
         shardings: dict | None = None,
         stack_batches: int = 1,
         augment_hflip: float = 0.0,
+        load_masks: bool = False,
+        mask_size: int = 0,
     ):
+        if load_masks and not getattr(dataset, "with_segmentation", False):
+            raise ValueError(
+                "load_masks=True needs a dataset constructed with "
+                "with_segmentation=True (the segmentation field is "
+                "dropped otherwise)"
+            )
+        self.load_masks = load_masks
+        self.mask_size = mask_size or image_size // 2
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -234,6 +247,20 @@ class DetectionLoader:
         image_ids = np.zeros((b,), np.int64)
         orig_sizes = np.ones((b, 2), np.float32)
         image_valid = np.zeros((b,), bool)
+        m = self.mask_size
+        gt_masks = (
+            np.zeros((b, self.max_gt, m, m), np.uint8)
+            if self.load_masks else None
+        )
+
+        def fill_masks(slot, target, oh, ow):
+            if gt_masks is None:
+                return
+            from layoutdit_tpu.data.masks import rasterize_target_masks
+
+            gt_masks[slot] = rasterize_target_masks(
+                target.get("segmentation", []), oh, ow, m, self.max_gt
+            )
 
         if self.use_native:
             # C++ fast path: raw bytes -> threaded decode+resize (~100x
@@ -269,6 +296,7 @@ class DetectionLoader:
                 image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
                 orig_sizes[slot] = origs[k]
                 image_valid[slot] = True
+                fill_masks(slot, target, origs[k, 0], origs[k, 1])
         else:
             # PIL fallback: decode examples CONCURRENTLY (PIL/numpy release
             # the GIL for the heavy parts) — matches the reference's
@@ -291,6 +319,7 @@ class DetectionLoader:
                 image_ids[slot] = int(np.asarray(target["image_id"]).ravel()[0])
                 orig_sizes[slot] = orig
                 image_valid[slot] = True
+                fill_masks(slot, target, orig[0], orig[1])
         if self.augment_hflip > 0:
             # Horizontal flip in model space (image + x-coords of boxes).
             # The decision hashes (seed, epoch, dataset index) — NOT slot,
@@ -310,9 +339,11 @@ class DetectionLoader:
                     x2 = gt_boxes[slot][v, 2].copy()
                     gt_boxes[slot][v, 0] = s - x2
                     gt_boxes[slot][v, 2] = s - x1
+                    if gt_masks is not None:
+                        gt_masks[slot] = gt_masks[slot][:, :, ::-1]
         return DetectionBatch(
             images, gt_boxes, gt_labels, gt_valid, image_ids, orig_sizes,
-            image_valid,
+            image_valid, gt_masks=gt_masks,
         )
 
     def _batches_of_indices(self) -> Iterator[np.ndarray]:
@@ -348,6 +379,8 @@ class DetectionLoader:
             import jax
 
             def put(name, val):
+                if val is None:  # absent optional field (gt_masks)
+                    return None
                 if self.shardings is not None:
                     if name not in self.shardings:
                         return val
@@ -382,7 +415,9 @@ class DetectionLoader:
             fields = {}
             for f in DetectionBatch.__dataclass_fields__:
                 vals = [getattr(b, f) for b in group]
-                if self.shardings is not None and f not in self.shardings:
+                if vals[0] is None:  # absent optional field (gt_masks)
+                    fields[f] = None
+                elif self.shardings is not None and f not in self.shardings:
                     # metadata stays host-side, flat [S*B, ...]
                     fields[f] = np.concatenate(vals)
                 else:

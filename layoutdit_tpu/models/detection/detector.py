@@ -78,6 +78,16 @@ class DetectorConfig:
     # Per-stage loss weights; () -> cascade.DEFAULT_STAGE_LOSS_WEIGHTS
     # truncated to the stage count.
     cascade_stage_loss_weights: tuple[float, ...] = ()
+    # Mask R-CNN branch (beyond-reference; models/detection/mask_head.py):
+    # adds a loss_mask term in training (requires gt_masks) and per-
+    # detection mask probabilities at inference via
+    # detector_predict(..., with_masks=True).
+    with_mask: bool = False
+    # RoI pool size feeding the mask head (masks come out at 2x this).
+    mask_roi_output_size: int = 14
+    # GT bitmask block side M ([B, G, M, M] ships to device); 0 = auto
+    # (image_size // 2).
+    mask_gt_size: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -85,6 +95,10 @@ class DetectorConfig:
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes[0]) * len(self.aspect_ratios[0])
+
+    @property
+    def gt_mask_size(self) -> int:
+        return self.mask_gt_size or self.image_size // 2
 
     @property
     def grid_sizes(self) -> tuple[tuple[int, int], ...]:
@@ -162,6 +176,7 @@ class DetectorConfig:
             backbone_kind=backbone_kind,
             cascade_iou_threshs=tuple(mc.cascade_iou_threshs),
             remat=mc.remat,
+            with_mask=mc.with_mask,
         )
 
 
@@ -218,6 +233,16 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
         )
         params["box_predictor"] = init_predictor_params(
             k_pred, rep, cfg.num_classes + 1
+        )
+    if cfg.with_mask:
+        from layoutdit_tpu.models.detection.mask_head import init_mask_head_params
+
+        # fold_in rather than widening the 4-way split above: existing
+        # no-mask configs keep bit-identical initial params
+        params["mask_head"] = init_mask_head_params(
+            jax.random.fold_in(key, 1001),
+            cfg.backbone.fpn_out_channels,
+            cfg.num_classes + 1,
         )
     return params
 
@@ -286,6 +311,35 @@ def _pool_and_predict(head_params, feats, rois, roi_valid, cfg: DetectorConfig):
     return jax.vmap(single)(tuple(feats), rois, roi_valid)
 
 
+def _mask_logits(params, feats, rois, roi_valid, cfg: DetectorConfig):
+    """Pool mask features at ``rois`` [B, K, 4] and run the mask head:
+    -> [B, K, NC+1, 2P, 2P] logits (P = cfg.mask_roi_output_size)."""
+    from layoutdit_tpu.models.detection.mask_head import mask_head_forward
+
+    scales = cfg.backbone.spatial_scales
+    if cfg.backbone_kind == "resnet50":
+        feats = feats[:4]
+        scales = scales[:4]
+
+    def single(feats_i, rois_i, valid_i):
+        return multiscale_roi_align(
+            list(feats_i), rois_i, list(scales),
+            output_size=cfg.mask_roi_output_size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            canonical_scale=float(cfg.image_size),
+            roi_mask=valid_i,
+            impl=cfg.roi_impl,
+        )  # [K, C, P, P]
+
+    pooled = jax.vmap(single)(tuple(feats), rois, roi_valid)
+    b, k = pooled.shape[:2]
+    logits = mask_head_forward(
+        params["mask_head"],
+        pooled.reshape(b * k, *pooled.shape[2:]).astype(cfg.dtype),
+    )
+    return logits.reshape(b, k, *logits.shape[1:])
+
+
 def detector_loss(
     params: dict,
     rng: jax.Array,
@@ -296,6 +350,7 @@ def detector_loss(
     cfg: DetectorConfig,
     seq_sharding=None,
     pipeline=None,
+    gt_masks: jnp.ndarray | None = None,  # [B, G, M, M] {0,1}, cfg.with_mask
 ) -> dict[str, jnp.ndarray]:
     """Training forward -> the reference's four-loss dict
     (trainer.py:111-117 consumes the same keys).
@@ -345,6 +400,13 @@ def detector_loss(
         "loss_classifier": loss_cls,
         "loss_box_reg": loss_box,
     }
+    if cfg.with_mask:
+        if gt_masks is None:
+            raise ValueError(
+                "cfg.with_mask=True requires gt_masks [B, G, M, M] "
+                "(enable the data pipeline's mask path)"
+            )
+        losses["loss_mask"] = _mask_loss(params, feats, samples, gt_masks, cfg)
     vit_cfg = cfg.backbone.vit
     if cfg.backbone_kind == "dit" and vit_cfg.num_experts > 0:
         # Switch load-balance loss — keeps the token routing uniform so
@@ -356,6 +418,37 @@ def detector_loss(
 
 def _base_head(params: dict) -> dict:
     return {"box_head": params["box_head"], "box_predictor": params["box_predictor"]}
+
+
+def _mask_loss(params, feats, samples, gt_masks, cfg: DetectorConfig):
+    """Mask branch training loss over the POSITIVE sampled slots only
+    (torchvision RoIHeads trains masks on positives; the sampler packs
+    positives into the first ``max_pos`` slots, so a static slice
+    suffices — no dynamic gather)."""
+    from layoutdit_tpu.models.detection import mask_head as mh
+
+    budget = cfg.budget
+    max_pos = int(budget.box_batch_size_per_image * budget.box_positive_fraction)
+    rois = samples.rois[:, :max_pos]
+    labels = samples.labels[:, :max_pos]
+    matched = samples.matched_gt[:, :max_pos]
+    pos_valid = samples.valid[:, :max_pos] & (labels > 0)
+
+    logits = _mask_logits(params, feats, rois, pos_valid, cfg)
+    out = 2 * cfg.mask_roi_output_size
+    targets = jax.vmap(
+        lambda gm, bx, m: mh.project_masks_on_boxes(
+            gm, bx, m, cfg.image_size, out
+        )
+    )(gt_masks, rois, matched)
+
+    b, k = rois.shape[:2]
+    return mh.maskrcnn_loss(
+        logits.reshape(b * k, *logits.shape[2:]),
+        labels.reshape(b * k),
+        targets.reshape(b * k, out, out),
+        pos_valid.reshape(b * k),
+    )
 
 
 def _cascade_loss(params, feats, samples, gt_boxes, gt_labels, gt_valid, cfg):
@@ -412,8 +505,16 @@ def detector_predict(
     cfg: DetectorConfig,
     seq_sharding=None,
     pipeline=None,
-) -> Detections:
-    """Inference -> padded per-image detections (boxes in S-space)."""
+    with_masks: bool = False,
+):
+    """Inference -> padded per-image detections (boxes in S-space).
+
+    with_masks (static; requires cfg.with_mask params): ALSO run the
+    Mask R-CNN branch at the final detection boxes and return
+    ``(Detections, mask_probs [B, D, 2P, 2P] float32)`` — each
+    detection's own-class sigmoid mask in box-relative coordinates
+    (paste into image space with eval.masks.paste_masks).
+    """
     anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline
@@ -423,15 +524,29 @@ def detector_predict(
         (cfg.image_size, cfg.image_size), cfg.budget, training=False,
     )
     if cfg.cascade_iou_threshs:
-        return _cascade_predict(params, feats, props, cfg)
-    class_logits, box_regression = _pool_and_predict(
-        _base_head(params), feats, props.boxes, props.valid, cfg
-    )
-    return jax.vmap(
-        lambda cl, br, p, v: postprocess_detections_single(
-            cl, br, p, v, (cfg.image_size, cfg.image_size), cfg.budget
+        dets = _cascade_predict(params, feats, props, cfg)
+    else:
+        class_logits, box_regression = _pool_and_predict(
+            _base_head(params), feats, props.boxes, props.valid, cfg
         )
-    )(class_logits, box_regression, props.boxes, props.valid)
+        dets = jax.vmap(
+            lambda cl, br, p, v: postprocess_detections_single(
+                cl, br, p, v, (cfg.image_size, cfg.image_size), cfg.budget
+            )
+        )(class_logits, box_regression, props.boxes, props.valid)
+    if not with_masks:
+        return dets
+
+    from layoutdit_tpu.models.detection import mask_head as mh
+
+    logits = _mask_logits(params, feats, dets.boxes, dets.valid, cfg)
+    b, d = logits.shape[:2]
+    probs = mh.mask_probs_for_labels(
+        logits.reshape(b * d, *logits.shape[2:]),
+        dets.labels.reshape(b * d),
+    ).reshape(b, d, *logits.shape[-2:])
+    probs = jnp.where(dets.valid[..., None, None], probs, 0.0)
+    return dets, probs
 
 
 def _cascade_predict(params, feats, props, cfg: DetectorConfig) -> Detections:

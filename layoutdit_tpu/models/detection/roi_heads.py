@@ -33,6 +33,11 @@ class TrainingSamples(NamedTuple):
     valid: jnp.ndarray  # [S]
     labels: jnp.ndarray  # [S] int (0 = background)
     reg_targets: jnp.ndarray  # [S, 4]
+    # index of the matched GT row for each slot (0 where background /
+    # invalid — only meaningful where labels > 0); feeds the Mask R-CNN
+    # branch's target projection. Defaulted so constructors that predate
+    # the mask branch (golden tests) stay valid.
+    matched_gt: jnp.ndarray | None = None
 
 
 def select_training_samples_single(
@@ -85,7 +90,10 @@ def select_training_samples_single(
     ) * valid.astype(jnp.int32)
     reg_targets = encode_boxes(gt_boxes[m], rois, budget.box_reg_weights)
     reg_targets = jnp.where(take_pos[:, None], reg_targets, 0.0)
-    return TrainingSamples(rois=rois, valid=valid, labels=labels, reg_targets=reg_targets)
+    return TrainingSamples(
+        rois=rois, valid=valid, labels=labels, reg_targets=reg_targets,
+        matched_gt=jnp.where(take_pos, m, 0),
+    )
 
 
 def fastrcnn_loss(

@@ -126,9 +126,14 @@ def make_fixture(
             "width": image_size, "height": image_size,
         })
         for cat, bbox in anns:
+            x, y, w, h = bbox
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": cat,
                 "bbox": bbox, "area": bbox[2] * bbox[3], "iscrowd": 0,
+                # rectangle polygon over the block (PubLayNet ships
+                # polygon segmentations; the Mask R-CNN path trains on
+                # these — data/masks.py)
+                "segmentation": [[x, y, x + w, y, x + w, y + h, x, y + h]],
             })
             ann_id += 1
 

@@ -260,13 +260,20 @@ class Trainer:
     def _build_dataloader(self):
         dl_cfg = self.config.data_loader_config
         images_root, ann_json = resolve_split(self.config, train=True)
+        with_mask = self.config.detection_model_config.with_mask
         if dl_cfg.image_shards_dir:
             from layoutdit_tpu.data.shards import make_sharded_dataset
 
+            if with_mask:
+                raise ValueError(
+                    "with_mask training is not wired to tar-shard datasets "
+                    "yet — use the plain images_root/annotations layout"
+                )
             dataset = make_sharded_dataset(dl_cfg.image_shards_dir, ann_json)
         else:
             dataset = PubLayNetDataset(
-                images_root_dir=images_root, annotations_json_path=ann_json
+                images_root_dir=images_root, annotations_json_path=ann_json,
+                with_segmentation=with_mask,
             )
         self.dataloader = DetectionLoader(
             dataset,
@@ -287,10 +294,12 @@ class Trainer:
             shardings={
                 f: batch_sharding(self.mesh)
                 for f in ("images", "gt_boxes", "gt_labels", "gt_valid")
+                + (("gt_masks",) if with_mask else ())
             },
             stack_batches=max(1, self.config.train_config.steps_per_dispatch),
             prefetch_depth=dl_cfg.prefetch_depth,
             augment_hflip=dl_cfg.augment_hflip,
+            load_masks=with_mask,
         )
 
     def _setup_optimizer(self):
@@ -316,20 +325,26 @@ class Trainer:
         pipe = pipeline_config(self.mesh, self.config.mesh_config)
 
         accum = max(1, self.config.train_config.grad_accumulation_steps)
+        # The Mask R-CNN branch rides as a variadic batch tail: when
+        # cfg.with_mask every step/scan signature gains one trailing
+        # gt_masks array, and stays byte-identical otherwise.
+        n_extra = 1 if cfg.with_mask else 0
 
-        def total_loss(p, rng, images, gt_boxes, gt_labels, gt_valid):
+        def total_loss(p, rng, images, gt_boxes, gt_labels, gt_valid,
+                       gt_masks=None):
             losses = detector_loss(
                 p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
-                seq_sharding=seq, pipeline=pipe,
+                seq_sharding=seq, pipeline=pipe, gt_masks=gt_masks,
             )
             return sum(losses.values()), losses
 
         grad_of_loss = jax.value_and_grad(total_loss, has_aux=True)
 
-        def step(params, opt_state, rng, images, gt_boxes, gt_labels, gt_valid):
+        def step(params, opt_state, rng, images, gt_boxes, gt_labels,
+                 gt_valid, *extra):
             if accum == 1:
                 (loss, losses), grads = grad_of_loss(
-                    params, rng, images, gt_boxes, gt_labels, gt_valid
+                    params, rng, images, gt_boxes, gt_labels, gt_valid, *extra
                 )
             else:
                 # Micro-batch accumulation: scan over [A, B/A, ...] slices
@@ -340,7 +355,7 @@ class Trainer:
                     return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
 
                 micro = tuple(split(x) for x in
-                              (images, gt_boxes, gt_labels, gt_valid))
+                              (images, gt_boxes, gt_labels, gt_valid) + extra)
                 rngs = jax.random.split(rng, accum)
 
                 def body(acc, xs):
@@ -385,20 +400,21 @@ class Trainer:
         if ema_decay > 0:
             self._train_step = jax.jit(
                 step_ema,
-                in_shardings=(None, None, None, rep, data, data, data, data),
+                in_shardings=(None, None, None, rep)
+                + (data,) * (4 + n_extra),
                 out_shardings=(None, None, None, rep, rep),
                 donate_argnums=(0, 1, 2),
             )
         else:
             self._train_step = jax.jit(
                 step,
-                in_shardings=(None, None, rep, data, data, data, data),
+                in_shardings=(None, None, rep) + (data,) * (4 + n_extra),
                 out_shardings=(None, None, rep, rep),
                 donate_argnums=(0, 1),
             )
 
         def multi_step(params, opt_state, ema, rng, images, gt_boxes,
-                       gt_labels, gt_valid):
+                       gt_labels, gt_valid, *extra):
             """lax.scan over stacked micro-batches: one dispatch for N
             steps (amortizes per-call host round trips)."""
 
@@ -414,7 +430,7 @@ class Trainer:
 
             (params, opt_state, ema, _), losses = jax.lax.scan(
                 body, (params, opt_state, ema, rng),
-                (images, gt_boxes, gt_labels, gt_valid),
+                (images, gt_boxes, gt_labels, gt_valid) + extra,
                 # unrolling lets XLA keep the carried params in compute-
                 # friendly layouts across chained steps instead of
                 # round-tripping the canonical carry layout per step
@@ -431,7 +447,8 @@ class Trainer:
         )
         self._train_multi_step = jax.jit(
             multi_step,
-            in_shardings=(None, None, None, rep, sdata, sdata, sdata, sdata),
+            in_shardings=(None, None, None, rep)
+            + (sdata,) * (4 + n_extra),
             out_shardings=(None, None, None, rep),
             donate_argnums=(0, 1, 2),
         )
@@ -543,25 +560,26 @@ class Trainer:
         """Run 1 (plain batch) or S (super-batch lax.scan) training steps
         in one device call; returns device loss scalar(s)."""
         ema_on = self.ema_params is not None
+        batch_args = (b.images, b.gt_boxes, b.gt_labels, b.gt_valid)
+        if self.model.cfg.with_mask:
+            batch_args += (b.gt_masks,)
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step_num):
             if not stacked:
                 if ema_on:
                     (self.model.params, self.opt_state, self.ema_params,
                      loss, _) = self._train_step(
                         self.model.params, self.opt_state, self.ema_params,
-                        rng, b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                        rng, *batch_args,
                     )
                 else:
                     self.model.params, self.opt_state, loss, _ = self._train_step(
-                        self.model.params, self.opt_state, rng,
-                        b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                        self.model.params, self.opt_state, rng, *batch_args,
                     )
                 return loss
             ema_in = self.ema_params if ema_on else jnp.zeros(())
             (self.model.params, self.opt_state, ema_out,
              losses) = self._train_multi_step(
-                self.model.params, self.opt_state, ema_in, rng,
-                b.images, b.gt_boxes, b.gt_labels, b.gt_valid,
+                self.model.params, self.opt_state, ema_in, rng, *batch_args,
             )
             if ema_on:
                 self.ema_params = ema_out

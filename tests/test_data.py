@@ -308,6 +308,9 @@ def test_assemble_row_subset_matches_full_batch(fixture_dataset):
         part = loader._assemble(idxs, rows=rows)
         assert part.images.shape[0] == len(rows)
         for f in full.__dataclass_fields__:
+            if getattr(full, f) is None:  # optional fields (gt_masks)
+                assert getattr(part, f) is None
+                continue
             np.testing.assert_array_equal(
                 getattr(part, f), getattr(full, f)[rows], err_msg=f
             )
