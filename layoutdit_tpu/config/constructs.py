@@ -263,6 +263,10 @@ class EvalConfig(BaseModel):
     # (the per-class breakdown PubLayNet results are reported with;
     # not surfaced by the reference's evaluator.py:71-77)
     per_category_metrics: bool = True
+    # when the model carries a Mask R-CNN head (with_mask): also paste
+    # per-detection masks and report the 12 segm-IoU metrics as
+    # segm_mAP/segm_AP50/... alongside the bbox set
+    segm_metrics: bool = True
 
 
 class DetectionBudget(BaseModel):

@@ -106,6 +106,33 @@ def rasterize_instance(
     return np.asarray(img, np.uint8)
 
 
+def rasterize_fullsize(segmentation, h: int, w: int) -> np.ndarray:
+    """One COCO segmentation entry at NATIVE [h, w] resolution (the segm
+    evaluator's exact grid; the model-space ``rasterize_instance`` above
+    is the training-target path)."""
+    h, w = int(h), int(w)
+    if isinstance(segmentation, dict):
+        m = rle_to_mask(segmentation["counts"], segmentation["size"])
+        if m.shape != (h, w):  # RLE at a different size: nearest resample
+            ys = np.clip(((np.arange(h) + 0.5) * m.shape[0] / h).astype(int),
+                         0, m.shape[0] - 1)
+            xs = np.clip(((np.arange(w) + 0.5) * m.shape[1] / w).astype(int),
+                         0, m.shape[1] - 1)
+            m = m[np.ix_(ys, xs)]
+        return m
+
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (w, h), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in segmentation:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        draw.polygon([(float(x), float(y)) for x, y in pts], fill=1)
+    return np.asarray(img, np.uint8)
+
+
 def rasterize_target_masks(
     segmentations: list,
     orig_h: float,

@@ -62,10 +62,24 @@ class Evaluator:
         self.eval_config = layout_dit_config.eval_config
         self.model = model
 
+        # Mask R-CNN models also paste instance masks and report the segm
+        # 12-metric set (EvalConfig.segm_metrics)
+        self._with_masks = bool(
+            getattr(model.cfg, "with_mask", False)
+            and self.eval_config.segm_metrics
+        )
         self.dataloader = self._build_eval_dataloader()
         ds = self.dataloader.dataset
         self.coco_data = ds.coco_data
         self.coco_eval = CocoEvaluator(self.coco_data)
+        self.segm_eval = (
+            CocoEvaluator(self.coco_data, iou_type="segm")
+            if self._with_masks else None
+        )
+        self._img_sizes = {
+            im["id"]: (int(im.get("height", 0)), int(im.get("width", 0)))
+            for im in self.coco_data["images"]
+        }
         self.id2cat_map = {
             cat["id"]: cat.get("name", str(cat["id"]))
             for cat in self.coco_data["categories"]
@@ -113,10 +127,7 @@ class Evaluator:
                 }
                 self._predict = jax.jit(
                     lambda p, imgs, sizes, ids, ivalid: (
-                        rescale_detections(
-                            detector_predict(p, imgs, cfg), sizes,
-                            cfg.image_size,
-                        ),
+                        self._rescaled_predict(p, imgs, sizes, cfg),
                         ids,
                         ivalid,
                     ),
@@ -128,12 +139,25 @@ class Evaluator:
                 shardings = {"in_shardings": (None, data, data)}
         if not self._multihost_eval:
             self._predict = jax.jit(
-                lambda p, imgs, sizes: rescale_detections(
-                    detector_predict(p, imgs, cfg), sizes, cfg.image_size
+                lambda p, imgs, sizes: self._rescaled_predict(
+                    p, imgs, sizes, cfg
                 ),
                 **shardings,
             )
         logger.debug("Successfully initialized evaluator")
+
+    def _rescaled_predict(self, p, imgs, sizes, cfg):
+        """detector_predict + box rescale to original space; with the
+        mask branch on, also returns [B, D, 2P, 2P] sigmoid mask maps
+        (box-relative, so the rescale leaves them untouched)."""
+        if self._with_masks:
+            dets, probs = detector_predict(p, imgs, cfg, with_masks=True)
+            return (
+                rescale_detections(dets, sizes, cfg.image_size), probs
+            )
+        return rescale_detections(
+            detector_predict(p, imgs, cfg), sizes, cfg.image_size
+        )
 
     def _build_eval_dataloader(self) -> DetectionLoader:
         dl_cfg = self.config.data_loader_config
@@ -142,6 +166,8 @@ class Evaluator:
         dataset = PubLayNetDataset(
             images_root_dir=f"{base}/{segment}/",
             annotations_json_path=f"{base}/{segment}.json",
+            # segm scoring needs GT segmentation kept through the parse
+            with_segmentation=self._with_masks,
         )
         return DetectionLoader(
             dataset,
@@ -162,18 +188,23 @@ class Evaluator:
         all_predictions: list[dict] = []
         for batch in self.dataloader:
             if self._multihost_eval:
-                dets, ids, ivalid = self._predict(
+                out, ids, ivalid = self._predict(
                     self.model.params, batch.images, batch.orig_sizes,
                     batch.image_ids, batch.image_valid,
                 )
                 ids = np.asarray(ids)
                 ivalid = np.asarray(ivalid, bool)
             else:
-                dets = self._predict(
+                out = self._predict(
                     self.model.params, batch.images, batch.orig_sizes
                 )
                 ids = np.asarray(batch.image_ids)
                 ivalid = np.asarray(batch.image_valid, bool)
+            if self._with_masks:
+                dets, mask_probs = out
+                mask_probs = np.asarray(mask_probs)
+            else:
+                dets, mask_probs = out, None
             boxes = np.asarray(dets.boxes)
             scores = np.asarray(dets.scores)
             labels = np.asarray(dets.labels)
@@ -192,15 +223,22 @@ class Evaluator:
             kids = ids[img_idx]
             ks = scores[img_idx, det_idx]
             kc = labels[img_idx, det_idx]
-            all_predictions.extend(
-                {
+            for j in range(len(img_idx)):
+                pred = {
                     "image_id": int(kids[j]),
                     "category_id": int(kc[j]),
                     "bbox": xywh[j].tolist(),
                     "score": float(ks[j]),
                 }
-                for j in range(len(img_idx))
-            )
+                if mask_probs is not None:
+                    from layoutdit_tpu.eval.masks import paste_mask_in_box
+
+                    im_h, im_w = self._img_sizes[int(kids[j])]
+                    pred["segmentation"] = paste_mask_in_box(
+                        mask_probs[img_idx[j], det_idx[j]],
+                        kb[j], im_h, im_w,
+                    )
+                all_predictions.append(pred)
 
         if not all_predictions:
             logger.warning("No predictions were generated.")
@@ -211,6 +249,9 @@ class Evaluator:
             all_predictions,
             per_category=self.eval_config.per_category_metrics,
         )
+        if self.segm_eval is not None:
+            segm = self.segm_eval.evaluate(all_predictions)
+            metrics.update({f"segm_{k}": v for k, v in segm.items()})
         logger.info(
             "COCO metrics: %s",
             " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
@@ -223,6 +264,22 @@ class Evaluator:
             # (replicated out_shardings in the DP-eval path, or redundant
             # local eval without a mesh); only the lead host persists them
             return
+        if self._with_masks:
+            # in-memory predictions carry cropped-bitmap windows (the
+            # evaluator's fast path); the persisted JSON gets standard
+            # COCO uncompressed RLE instead
+            from layoutdit_tpu.eval.masks import encode_rle
+
+            serializable = []
+            for p in all_predictions:
+                q = dict(p)
+                if isinstance(q.get("segmentation"), tuple):
+                    im_h, im_w = self._img_sizes[q["image_id"]]
+                    q["segmentation"] = encode_rle(
+                        q["segmentation"], im_h, im_w
+                    )
+                serializable.append(q)
+            all_predictions = serializable
         with self.fs_open(self.predictions_path, "w", auto_mkdir=True) as f:
             json.dump(all_predictions, f)
         logger.info(

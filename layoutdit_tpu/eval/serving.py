@@ -50,6 +50,10 @@ class PageDetections:
     boxes: np.ndarray  # [K, 4] xyxy, original page coordinates
     scores: np.ndarray  # [K]
     labels: np.ndarray  # [K] int (1..NC)
+    # Mask R-CNN models: per-detection cropped bitmaps in original page
+    # coordinates, as (x0, y0, bitmap uint8) windows (eval/masks.py);
+    # None when the model has no mask head
+    masks: list | None = None
 
 
 class BatchInferenceEngine:
@@ -100,6 +104,9 @@ class BatchInferenceEngine:
         self.score_thresh = score_thresh
         self.decode_workers = decode_workers
         self.max_in_flight = max(1, max_in_flight)
+        # overridden by the live engine when the model has a mask head;
+        # exported artifacts serve boxes only
+        self._with_masks = False
 
     def __init__(
         self,
@@ -117,6 +124,7 @@ class BatchInferenceEngine:
         self.batch_size = batch_size
         self.mesh = mesh
         self._init_pipeline_fields(score_thresh, decode_workers, max_in_flight)
+        self._with_masks = bool(getattr(model.cfg, "with_mask", False))
         # Resolve the TP axis the same way the sharding rules do
         # (parallel/mesh.py::model_axis_name): by NAME when an axis is
         # called 'model', else positionally. Engine and param specs
@@ -201,9 +209,15 @@ class BatchInferenceEngine:
     def _predict_fn(self, size: int):
         if size not in self._compiled:
             cfg = dataclasses.replace(self.model.cfg, image_size=size)
+            with_masks = self._with_masks
 
             @jax.jit
             def run(params, images, orig_sizes):
+                if with_masks:
+                    dets, probs = detector_predict(
+                        params, images, cfg, with_masks=True
+                    )
+                    return rescale_detections(dets, orig_sizes, size), probs
                 dets = detector_predict(params, images, cfg)
                 return rescale_detections(dets, orig_sizes, size)
 
@@ -311,17 +325,35 @@ class BatchInferenceEngine:
 
         results: list[PageDetections | None] = [None] * len(pages)
 
-        def fetch(chunk, decoded_ok, dets):
+        def fetch(chunk, decoded_ok, orig, out):
+            if self._with_masks:
+                dets, mask_probs = out
+                mask_probs = np.asarray(mask_probs)
+            else:
+                dets, mask_probs = out, None
             boxes = np.asarray(dets.boxes)
             scores = np.asarray(dets.scores)
             labels = np.asarray(dets.labels)
             valid = np.asarray(dets.valid) & (scores >= self.score_thresh)
             for slot, page_idx in enumerate(chunk):
                 keep = valid[slot] & decoded_ok[slot]
+                masks = None
+                if mask_probs is not None:
+                    from layoutdit_tpu.eval.masks import paste_mask_in_box
+
+                    im_h, im_w = (int(orig[slot, 0]), int(orig[slot, 1]))
+                    masks = [
+                        paste_mask_in_box(
+                            mask_probs[slot, di], boxes[slot, di],
+                            max(im_h, 1), max(im_w, 1),
+                        )
+                        for di in np.nonzero(keep)[0]
+                    ]
                 results[page_idx] = PageDetections(
                     boxes=boxes[slot][keep],
                     scores=scores[slot][keep],
                     labels=labels[slot][keep],
+                    masks=masks,
                 )
 
         # Three-stage pipeline: decode-worker threads fill chunk buffers
@@ -363,13 +395,13 @@ class BatchInferenceEngine:
                 submit_next()  # refill the decode window
                 decoded_ok = (orig > 0).all(axis=1)  # (0,0) = failed slot
                 in_flight.append(
-                    (chunk, decoded_ok,
+                    (chunk, decoded_ok, orig,
                      run(self.params, *self._put(images, orig)))
                 )
                 if len(in_flight) >= self.max_in_flight:
                     fetch(*in_flight.pop(0))
-        for chunk, decoded_ok, dets in in_flight:
-            fetch(chunk, decoded_ok, dets)
+        for entry in in_flight:
+            fetch(*entry)
         return results  # type: ignore[return-value]
 
     def predict_document(self, pages: Sequence) -> list[PageDetections]:

@@ -213,12 +213,26 @@ class ServerMetrics:
 
 
 def detections_to_json(dets, names: dict) -> dict:
-    return {
+    out = {
         "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
         "scores": [round(float(s), 4) for s in dets.scores],
         "labels": [int(l) for l in dets.labels],
         "label_names": [names.get(int(l), str(int(l))) for l in dets.labels],
     }
+    if getattr(dets, "masks", None) is not None:
+        # Mask R-CNN models: per-detection instance masks as COCO
+        # uncompressed RLE over the detection's local window —
+        # {"offset": [x0, y0], "size": [h, w], "counts": [...]}
+        from layoutdit_tpu.eval.masks import encode_rle
+
+        out["masks"] = [
+            {
+                "offset": [int(x0), int(y0)],
+                **encode_rle((0, 0, bm), *bm.shape),
+            }
+            for x0, y0, bm in dets.masks
+        ]
+    return out
 
 
 def make_handler(batcher: DynamicBatcher, names: dict, info: dict,

@@ -289,3 +289,40 @@ def test_detector_predict_with_masks(tiny_mask_detector):
     np.testing.assert_array_equal(
         np.asarray(dets_only.boxes), np.asarray(dets.boxes)
     )
+
+
+def test_mask_train_and_segm_eval_e2e(tmp_path):
+    """Full production path with the mask branch on: fixture (polygon
+    segmentations) -> Trainer (loss_mask in the jitted sum) ->
+    Evaluator.score() reporting BOTH bbox and segm 12-metric sets."""
+    import json
+
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+
+    root = str(tmp_path / "maskfix")
+    make_fixture(root, n_images=6, split="samples", seed=7)
+    write_fixture_config(root, epochs=1, batch_size=3, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(root + "/cfg.json")))
+    cfg.run_name = "maskfix"
+    cfg.train_config.steps_per_dispatch = 1
+    cfg.detection_model_config.with_mask = True
+    set_layout_dit_config(cfg)
+    try:
+        from layoutdit_tpu.eval.evaluator import Evaluator
+        from layoutdit_tpu.models.model import build_model
+        from layoutdit_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        assert "mask_head" in model.params
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert np.isfinite(trainer.loss_history[0])
+
+        metrics = Evaluator(model=model, layout_dit_config=cfg).score()
+        assert metrics is not None
+        assert np.isfinite(metrics["mAP"])
+        assert "segm_mAP" in metrics and np.isfinite(metrics["segm_mAP"])
+        assert "segm_AP50" in metrics
+    finally:
+        set_layout_dit_config(None)

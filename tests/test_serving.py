@@ -286,3 +286,34 @@ def test_serving_tp_only_mesh_actually_shards(tiny_model):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g.boxes, r.boxes, atol=1e-4)
         np.testing.assert_array_equal(g.labels, r.labels)
+
+
+def test_serving_with_masks(tiny_model):
+    """Mask R-CNN model: PageDetections carry per-detection bitmap
+    windows clipped to the page; no-mask models keep masks=None."""
+    import dataclasses as _dc
+
+    from layoutdit_tpu.eval.serving import BatchInferenceEngine
+
+    class M:
+        cfg = _dc.replace(
+            tiny_model.cfg, with_mask=True, mask_roi_output_size=7
+        )
+        params = init_detector_params(jax.random.PRNGKey(0), cfg)
+
+    engine = BatchInferenceEngine(M(), image_sizes=(64,), batch_size=2,
+                                  score_thresh=0.0)
+    rng = np.random.default_rng(0)
+    pages = [rng.uniform(0, 255, (60, 50, 3)).astype(np.float32)
+             for _ in range(3)]
+    results = engine.predict_pages(pages)
+    for r in results:
+        assert r.masks is not None
+        assert len(r.masks) == len(r.boxes)
+        for x0, y0, bm in r.masks:
+            assert bm.dtype == np.uint8
+            assert 0 <= x0 and 0 <= y0
+            assert y0 + bm.shape[0] <= 60 and x0 + bm.shape[1] <= 50
+
+    plain = BatchInferenceEngine(tiny_model, image_sizes=(64,), batch_size=2)
+    assert plain.predict_pages(pages[:1])[0].masks is None
