@@ -85,6 +85,22 @@ def _visualize(src, dets, out_path: str, names: dict) -> None:
         src = io.BytesIO(src)
     with Image.open(src) as im:
         im = im.convert("RGB")
+        if getattr(dets, "masks", None) is not None:
+            # instance masks: red at 40% over each detection's window
+            import numpy as np
+
+            arr = np.asarray(im).copy()
+            for x0, y0, bm in dets.masks:
+                h, w = bm.shape
+                y1, x1 = min(y0 + h, arr.shape[0]), min(x0 + w, arr.shape[1])
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                win = arr[y0:y1, x0:x1]
+                sel = bm[: y1 - y0, : x1 - x0].astype(bool)
+                win[sel] = (
+                    0.6 * win[sel] + 0.4 * np.array([255.0, 0.0, 0.0])
+                ).astype(np.uint8)
+            im = Image.fromarray(arr)
         draw = ImageDraw.Draw(im)
         for box, score, label in zip(dets.boxes, dets.scores, dets.labels):
             x1, y1, x2, y2 = [float(v) for v in box]
@@ -102,6 +118,7 @@ def run(args) -> list[dict]:
     from layoutdit_tpu.config import get_layout_dit_config
     from layoutdit_tpu.eval.serving import BatchInferenceEngine
     from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.serve import detections_to_json
 
     config = get_layout_dit_config()
     model = build_model(config, warm_start=False)
@@ -173,15 +190,9 @@ def run(args) -> list[dict]:
             pages = [open(p, "rb").read() for p in chunk]
         detections = engine.predict_pages(pages)
         for idx_in_chunk, (path, dets) in enumerate(zip(chunk, detections)):
-            records.append({
-                "file": path,
-                "boxes": [[round(float(v), 2) for v in b] for b in dets.boxes],
-                "scores": [round(float(s), 4) for s in dets.scores],
-                "labels": [int(l) for l in dets.labels],
-                "label_names": [
-                    names.get(int(l), str(int(l))) for l in dets.labels
-                ],
-            })
+            # same record schema as the HTTP server's /predict (incl.
+            # windowed-RLE instance masks for with_mask models)
+            records.append({"file": path, **detections_to_json(dets, names)})
             if args.visualize:
                 out = os.path.join(
                     args.visualize, os.path.basename(path) + ".pred.jpg"

@@ -1,12 +1,15 @@
-"""Cascade-head throughput on the real chip: train + inference img/s.
+"""Mask R-CNN throughput on the real chip: train + inference img/s.
 
-Same single-dispatch methodology as bench.py (whole loop inside one jit,
-one fetch at the end) applied to the 3-stage cascade detector
-(BASELINE config #3). Run: ``python scripts/bench_cascade.py``.
+Same methodology as bench.py (whole loop in one jit, carry returned,
+donated state threaded call-to-call, min over timed calls) applied to
+the instance-segmentation branch (models/detection/mask_head.py — a
+beyond-reference family; the PyTorch reference ignores PubLayNet's
+segmentation polygons). Run: ``python scripts/bench_mask.py``.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -41,21 +44,23 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", 10))
     unroll = int(os.environ.get("BENCH_UNROLL", steps))
 
-    cfg = DetectorConfig(
-        compute_dtype="bfloat16", cascade_iou_threshs=(0.5, 0.6, 0.7)
-    )
+    cfg = DetectorConfig(compute_dtype="bfloat16", with_mask=True)
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainingConfig(), steps_per_epoch=1000)
     opt_state = tx.init(params)
 
     rng = np.random.default_rng(0)
     g = 64
+    m = cfg.gt_mask_size
     images = jnp.asarray(rng.uniform(0, 1, (batch, 3, 224, 224)), jnp.float32)
     boxes = rng.uniform(10, 100, (batch, g, 4)).astype(np.float32)
     boxes[..., 2:] += boxes[..., :2]
     gt_boxes = jnp.asarray(np.clip(boxes, 0, 224))
     gt_labels = jnp.asarray(rng.integers(1, 6, (batch, g)), jnp.int32)
     gt_valid = jnp.asarray(rng.uniform(size=(batch, g)) < 0.3)
+    gt_masks = jnp.asarray(
+        rng.uniform(size=(batch, g, m, m)) < 0.5, jnp.float32
+    )
 
     def one_step(carry, key):
         params, opt_state = carry
@@ -63,7 +68,8 @@ def main() -> None:
         def total(p):
             return sum(
                 detector_loss(
-                    p, key, images, gt_boxes, gt_labels, gt_valid, cfg
+                    p, key, images, gt_boxes, gt_labels, gt_valid, cfg,
+                    gt_masks=gt_masks,
                 ).values()
             )
 
@@ -72,31 +78,28 @@ def main() -> None:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    import functools
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_train(params, opt_state, key):
         keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
             one_step, (params, opt_state), keys, unroll=unroll
         )
-        # Final carry MUST be a jit output (same DCE hole bench.py fixed:
-        # with it unused the last step's backward + AdamW are eliminated
-        # and carried params keep layouts a real dispatch can't use).
+        # final carry returned: see bench.py's DCE retraction
         return params, opt_state, losses
 
     @jax.jit
     def run_infer(params, x):
-        # tiny data dependency between iterations defeats hoisting/DCE
+        # data dependency between iterations defeats hoisting; masks are
+        # consumed so the mask branch cannot be dead-code-eliminated
         def body(i, acc):
-            dets = detector_predict(params, x + acc * 1e-9, cfg)
-            return acc + dets.scores.sum()
+            dets, probs = detector_predict(
+                params, x + acc * 1e-9, cfg, with_masks=True
+            )
+            return acc + dets.scores.sum() + probs.mean()
 
         return jax.lax.fori_loop(0, steps, body, 0.0)
 
-    # two warm-up calls (tunnel per-executable warm-up), then min-of-3
-    # timed calls; state threads call-to-call (donated) like bench.py.
-    for k in (1, 11):
+    for k in (1, 11):  # compile + tunnel per-executable warm-up
         params, opt_state, losses = run_train(params, opt_state, jax.random.PRNGKey(k))
         _ = np.asarray(losses)
     dts, finals = [], []
@@ -108,21 +111,23 @@ def main() -> None:
     train_ips = batch * steps / min(dts)
     assert np.isfinite(finals).all(), finals
 
-    acc = run_infer(params, images)
-    _ = float(acc)
-    t0 = time.time()
-    acc = run_infer(params, images)
-    _ = float(acc)
-    infer_ips = batch * steps / (time.time() - t0)
+    for _ in range(2):
+        _ = float(run_infer(params, images))
+    dts_i = []
+    for _ in range(3):
+        t0 = time.time()
+        _ = float(run_infer(params, images))
+        dts_i.append(time.time() - t0)
+    infer_ips = batch * steps / min(dts_i)
 
     print(
         json.dumps(
             {
-                "metric": "cascade_dit_base_throughput",
+                "metric": "mask_rcnn_dit_base_throughput",
                 "train_img_per_s": round(train_ips, 1),
                 "infer_img_per_s": round(infer_ips, 1),
                 "unit": "images/sec/chip",
-                "stages": 3,
+                "gt_mask_block": m,
             }
         )
     )

@@ -68,6 +68,39 @@ def test_predict_cli_end_to_end(tmp_path):
         set_layout_dit_config(None)
 
 
+def test_predict_cli_mask_model(tmp_path):
+    """with_mask checkpoints: records carry windowed-RLE instance masks
+    (the HTTP server's schema) and the overlay path blends them."""
+    root = str(tmp_path)
+    make_fixture(root, n_images=3, split="samples", seed=3)
+    write_fixture_config(root, epochs=1, batch_size=3, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.detection_model_config.with_mask = True
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        assert "mask_head" in model.params
+        ckpt = model.save_checkpoint(root, "run", 1)
+        out = os.path.join(root, "dets.json")
+        viz = os.path.join(root, "viz")
+        main([
+            "--checkpoint", ckpt,
+            "--input", os.path.join(root, "samples"),
+            "--output", out, "--sizes", "64", "--batch-size", "3",
+            "--score-thresh", "0.0", "--visualize", viz,
+        ])
+        records = json.load(open(out))
+        assert len(records) == 3
+        for rec in records:
+            assert len(rec["masks"]) == len(rec["boxes"])
+            for m in rec["masks"]:
+                assert len(m["offset"]) == 2 and len(m["size"]) == 2
+                assert sum(m["counts"]) == m["size"][0] * m["size"][1]
+        assert len(os.listdir(viz)) == 3
+    finally:
+        set_layout_dit_config(None)
+
+
 def test_label_names_inventories():
     from layoutdit_tpu.tools.predict import _label_names
 
