@@ -310,6 +310,17 @@ class DetectionBudget(BaseModel):
     # 512 measured best for the inference postprocess too, bench_infer.py).
     box_nms_tile: int = 512
 
+    # ---- RetinaNet family (ModelConfig.detector="retinanet"); values are
+    # torchvision models.detection.retinanet defaults. The rpn_*/box_*
+    # fields above are ignored by the single-stage path.
+    retinanet_fg_iou_thresh: float = 0.5
+    retinanet_bg_iou_thresh: float = 0.4
+    retinanet_score_thresh: float = 0.05
+    retinanet_nms_thresh: float = 0.5
+    retinanet_detections_per_img: int = 300
+    # Per-level candidate cap before cross-level NMS.
+    retinanet_topk_candidates: int = 1000
+
 
 class ModelConfig(BaseModel):
     """Reference: configuration/model_config.py:6-13 (same defaults) plus
@@ -349,6 +360,18 @@ class ModelConfig(BaseModel):
     # TwoMLPHead + class-agnostic predictor and refines the previous
     # stage's boxes. Empty = plain Faster R-CNN (reference parity).
     cascade_iou_threshs: list[float] = []
+
+    # Detector family: "faster_rcnn" (reference parity, incl. the cascade
+    # and mask modifiers above/below) or "retinanet" — a single-stage
+    # torchvision-RetinaNet-semantics head over the shared pyramid
+    # (models/detection/retinanet.py). Single-stage is the TPU-friendly
+    # shape: no proposal filtering, no RoI pooling, no sampling.
+    detector: str = "faster_rcnn"
+    # Pyramid levels the RetinaNet head runs on (indices into
+    # p2..p5+pool = strides 4, 8, 16, 32, 64 at 224 px). The default
+    # (1, 2, 3, 4) = strides 8..64 mirrors torchvision's P3..P7 range;
+    # anchor_sizes/aspect_ratios rows are selected by the same indices.
+    retinanet_levels: list[int] = [1, 2, 3, 4]
 
     # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
     # head on PubLayNet's segmentation polygons and return per-detection

@@ -88,9 +88,16 @@ class DetectorConfig:
     # GT bitmask block side M ([B, G, M, M] ships to device); 0 = auto
     # (image_size // 2).
     mask_gt_size: int = 0
+    # Detector family: "faster_rcnn" (two-stage, reference parity) or
+    # "retinanet" (single-stage; models/detection/retinanet.py).
+    detector_kind: str = "faster_rcnn"
+    # Pyramid-level indices (into p2..p5+pool) the RetinaNet head runs on;
+    # anchor_sizes/aspect_ratios rows are selected by the same indices.
+    retinanet_levels: tuple[int, ...] = (1, 2, 3, 4)
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
+        self.__post_init_validate__()
 
     @property
     def num_anchors_per_cell(self) -> int:
@@ -177,7 +184,31 @@ class DetectorConfig:
             cascade_iou_threshs=tuple(mc.cascade_iou_threshs),
             remat=mc.remat,
             with_mask=mc.with_mask,
+            detector_kind=mc.detector,
+            retinanet_levels=tuple(mc.retinanet_levels),
         )
+
+    def __post_init_validate__(self):  # called from __post_init__
+        if self.detector_kind not in ("faster_rcnn", "retinanet"):
+            raise ValueError(f"unknown detector_kind {self.detector_kind!r}")
+        if self.detector_kind == "retinanet":
+            if self.cascade_iou_threshs:
+                raise ValueError(
+                    "cascade_iou_threshs is a Faster R-CNN modifier; "
+                    "detector='retinanet' has no cascade variant"
+                )
+            if self.with_mask:
+                raise ValueError(
+                    "with_mask requires the RoI pipeline; "
+                    "detector='retinanet' has no mask branch"
+                )
+            n_levels = len(self.grid_sizes)
+            bad = [i for i in self.retinanet_levels if not 0 <= i < n_levels]
+            if bad or not self.retinanet_levels:
+                raise ValueError(
+                    f"retinanet_levels {self.retinanet_levels} out of range "
+                    f"for the {n_levels}-level pyramid"
+                )
 
 
 class _FrozenBudget(DetectionBudget):
@@ -205,6 +236,18 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
         cfg.roi_output_size,
         cfg.roi_output_size,
     )
+    if cfg.detector_kind == "retinanet":
+        from layoutdit_tpu.models.detection.retinanet import (
+            init_retinanet_head_params,
+        )
+
+        return {
+            "backbone": bb_params,
+            "retinanet_head": init_retinanet_head_params(
+                k_rpn, cfg.backbone.fpn_out_channels,
+                cfg.num_anchors_per_cell, cfg.num_classes + 1,
+            ),
+        }
     params = {
         "backbone": bb_params,
         "rpn_head": init_rpn_head_params(
@@ -263,20 +306,37 @@ def _anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
     return jnp.asarray(a), counts
 
 
-def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None,
-               pipeline=None, aux_out: dict | None = None):
+def _retinanet_anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    """Anchors over the retinanet_levels subset of the pyramid; the
+    anchor_sizes/aspect_ratios rows follow the same level indices."""
+    lv = cfg.retinanet_levels
+    a, counts = grid_anchors(
+        (cfg.image_size, cfg.image_size),
+        tuple(cfg.grid_sizes[i] for i in lv),
+        tuple(cfg.anchor_sizes[i] for i in lv),
+        tuple(cfg.aspect_ratios[i] for i in lv),
+    )
+    return jnp.asarray(a), counts
+
+
+def _run_backbone(params, images, cfg: DetectorConfig, seq_sharding=None,
+                  pipeline=None, aux_out: dict | None = None):
     x = _normalize(images, cfg).astype(cfg.dtype)
     if cfg.backbone_kind == "resnet50":
         from layoutdit_tpu.models.resnet import resnet_fpn_forward
 
-        feats = resnet_fpn_forward(params["backbone"], x, compute_dtype=cfg.dtype)
-    else:
-        feats = backbone_forward(
-            params["backbone"], x, cfg.backbone,
-            compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
-            remat=cfg.remat, seq_sharding=seq_sharding, pipeline=pipeline,
-            aux_out=aux_out,
-        )
+        return resnet_fpn_forward(params["backbone"], x, compute_dtype=cfg.dtype)
+    return backbone_forward(
+        params["backbone"], x, cfg.backbone,
+        compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
+        remat=cfg.remat, seq_sharding=seq_sharding, pipeline=pipeline,
+        aux_out=aux_out,
+    )
+
+
+def _run_trunk(params, images, cfg: DetectorConfig, seq_sharding=None,
+               pipeline=None, aux_out: dict | None = None):
+    feats = _run_backbone(params, images, cfg, seq_sharding, pipeline, aux_out)
     objectness, deltas = rpn_head_forward(
         params["rpn_head"], feats, cfg.num_anchors_per_cell
     )
@@ -360,8 +420,29 @@ def detector_loss(
     caller's jit, not a traced argument.
     pipeline: optional parallel.pipeline.PipelineConfig — run the encoder
     as a GPipe pipeline over the mesh's 'pipe' axis (also trace-time)."""
-    anchors, counts = _anchors(cfg)
     aux_out: dict = {}
+    if cfg.detector_kind == "retinanet":
+        from layoutdit_tpu.models.detection import retinanet as retina_mod
+
+        feats = _run_backbone(
+            params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
+        )
+        anchors_r, _ = _retinanet_anchors(cfg)
+        cls_logits, box_deltas = retina_mod.retinanet_head_forward(
+            params["retinanet_head"],
+            [feats[i] for i in cfg.retinanet_levels],
+            cfg.num_anchors_per_cell,
+        )
+        loss_cls, loss_reg = retina_mod.retinanet_loss(
+            cls_logits, box_deltas, anchors_r,
+            gt_boxes, gt_labels, gt_valid, cfg.budget,
+        )
+        # torchvision RetinaNet's loss keys, prefixed like the reference's
+        return _with_moe_aux(
+            {"loss_classification": loss_cls, "loss_bbox_reg": loss_reg},
+            aux_out, cfg,
+        )
+    anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
     )
@@ -407,6 +488,10 @@ def detector_loss(
                 "(enable the data pipeline's mask path)"
             )
         losses["loss_mask"] = _mask_loss(params, feats, samples, gt_masks, cfg)
+    return _with_moe_aux(losses, aux_out, cfg)
+
+
+def _with_moe_aux(losses: dict, aux_out: dict, cfg: DetectorConfig) -> dict:
     vit_cfg = cfg.backbone.vit
     if cfg.backbone_kind == "dit" and vit_cfg.num_experts > 0:
         # Switch load-balance loss — keeps the token routing uniform so
@@ -515,6 +600,24 @@ def detector_predict(
     detection's own-class sigmoid mask in box-relative coordinates
     (paste into image space with eval.masks.paste_masks).
     """
+    if cfg.detector_kind == "retinanet":
+        if with_masks:
+            raise ValueError("detector='retinanet' has no mask branch")
+        from layoutdit_tpu.models.detection import retinanet as retina_mod
+
+        feats = _run_backbone(params, images, cfg, seq_sharding, pipeline)
+        anchors_r, counts_r = _retinanet_anchors(cfg)
+        cls_logits, box_deltas = retina_mod.retinanet_head_forward(
+            params["retinanet_head"],
+            [feats[i] for i in cfg.retinanet_levels],
+            cfg.num_anchors_per_cell,
+        )
+        return jax.vmap(
+            lambda cl, dl: retina_mod.retinanet_postprocess_single(
+                cl, dl, anchors_r, counts_r,
+                (cfg.image_size, cfg.image_size), cfg.budget,
+            )
+        )(cls_logits, box_deltas)
     anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline
