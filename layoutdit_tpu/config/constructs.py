@@ -321,6 +321,15 @@ class DetectionBudget(BaseModel):
     # Per-level candidate cap before cross-level NMS.
     retinanet_topk_candidates: int = 1000
 
+    # ---- FCOS family (ModelConfig.detector="fcos"); torchvision
+    # models.detection.fcos defaults.
+    fcos_score_thresh: float = 0.2
+    fcos_nms_thresh: float = 0.6
+    fcos_detections_per_img: int = 100
+    fcos_topk_candidates: int = 1000
+    # Cells match a gt only within radius x cell-stride of its center.
+    fcos_center_sampling_radius: float = 1.5
+
 
 class ModelConfig(BaseModel):
     """Reference: configuration/model_config.py:6-13 (same defaults) plus
@@ -362,16 +371,21 @@ class ModelConfig(BaseModel):
     cascade_iou_threshs: list[float] = []
 
     # Detector family: "faster_rcnn" (reference parity, incl. the cascade
-    # and mask modifiers above/below) or "retinanet" — a single-stage
+    # and mask modifiers above/below), "retinanet" — a single-stage
     # torchvision-RetinaNet-semantics head over the shared pyramid
-    # (models/detection/retinanet.py). Single-stage is the TPU-friendly
-    # shape: no proposal filtering, no RoI pooling, no sampling.
+    # (models/detection/retinanet.py), or "fcos" — the anchor-free
+    # single-stage head (models/detection/fcos.py). Single-stage is the
+    # TPU-friendly shape: no proposal filtering, no RoI pooling, no
+    # sampling.
     detector: str = "faster_rcnn"
     # Pyramid levels the RetinaNet head runs on (indices into
     # p2..p5+pool = strides 4, 8, 16, 32, 64 at 224 px). The default
     # (1, 2, 3, 4) = strides 8..64 mirrors torchvision's P3..P7 range;
     # anchor_sizes/aspect_ratios rows are selected by the same indices.
     retinanet_levels: list[int] = [1, 2, 3, 4]
+    # Pyramid levels for the FCOS head (reference points are stride-sized
+    # squares; anchor_sizes/aspect_ratios are NOT consulted).
+    fcos_levels: list[int] = [1, 2, 3, 4]
 
     # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
     # head on PubLayNet's segmentation polygons and return per-detection

@@ -88,12 +88,16 @@ class DetectorConfig:
     # GT bitmask block side M ([B, G, M, M] ships to device); 0 = auto
     # (image_size // 2).
     mask_gt_size: int = 0
-    # Detector family: "faster_rcnn" (two-stage, reference parity) or
-    # "retinanet" (single-stage; models/detection/retinanet.py).
+    # Detector family: "faster_rcnn" (two-stage, reference parity),
+    # "retinanet" (single-stage; models/detection/retinanet.py), or
+    # "fcos" (anchor-free single-stage; models/detection/fcos.py).
     detector_kind: str = "faster_rcnn"
     # Pyramid-level indices (into p2..p5+pool) the RetinaNet head runs on;
     # anchor_sizes/aspect_ratios rows are selected by the same indices.
     retinanet_levels: tuple[int, ...] = (1, 2, 3, 4)
+    # Pyramid-level indices for the FCOS head (stride-sized square
+    # reference points; anchor config not consulted).
+    fcos_levels: tuple[int, ...] = (1, 2, 3, 4)
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -186,27 +190,33 @@ class DetectorConfig:
             with_mask=mc.with_mask,
             detector_kind=mc.detector,
             retinanet_levels=tuple(mc.retinanet_levels),
+            fcos_levels=tuple(mc.fcos_levels),
         )
 
     def __post_init_validate__(self):  # called from __post_init__
-        if self.detector_kind not in ("faster_rcnn", "retinanet"):
+        if self.detector_kind not in ("faster_rcnn", "retinanet", "fcos"):
             raise ValueError(f"unknown detector_kind {self.detector_kind!r}")
-        if self.detector_kind == "retinanet":
+        if self.detector_kind in ("retinanet", "fcos"):
             if self.cascade_iou_threshs:
                 raise ValueError(
                     "cascade_iou_threshs is a Faster R-CNN modifier; "
-                    "detector='retinanet' has no cascade variant"
+                    f"detector={self.detector_kind!r} has no cascade variant"
                 )
             if self.with_mask:
                 raise ValueError(
                     "with_mask requires the RoI pipeline; "
-                    "detector='retinanet' has no mask branch"
+                    f"detector={self.detector_kind!r} has no mask branch"
                 )
+            levels = (
+                self.retinanet_levels
+                if self.detector_kind == "retinanet"
+                else self.fcos_levels
+            )
             n_levels = len(self.grid_sizes)
-            bad = [i for i in self.retinanet_levels if not 0 <= i < n_levels]
-            if bad or not self.retinanet_levels:
+            bad = [i for i in levels if not 0 <= i < n_levels]
+            if bad or not levels:
                 raise ValueError(
-                    f"retinanet_levels {self.retinanet_levels} out of range "
+                    f"{self.detector_kind}_levels {levels} out of range "
                     f"for the {n_levels}-level pyramid"
                 )
 
@@ -246,6 +256,15 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
             "retinanet_head": init_retinanet_head_params(
                 k_rpn, cfg.backbone.fpn_out_channels,
                 cfg.num_anchors_per_cell, cfg.num_classes + 1,
+            ),
+        }
+    if cfg.detector_kind == "fcos":
+        from layoutdit_tpu.models.detection.fcos import init_fcos_head_params
+
+        return {
+            "backbone": bb_params,
+            "fcos_head": init_fcos_head_params(
+                k_rpn, cfg.backbone.fpn_out_channels, cfg.num_classes + 1
             ),
         }
     params = {
@@ -315,6 +334,22 @@ def _retinanet_anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...
         tuple(cfg.grid_sizes[i] for i in lv),
         tuple(cfg.anchor_sizes[i] for i in lv),
         tuple(cfg.aspect_ratios[i] for i in lv),
+    )
+    return jnp.asarray(a), counts
+
+
+def _fcos_anchors(cfg: DetectorConfig) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    """FCOS reference points: ONE stride-sized square per cell over the
+    fcos_levels subset (torchvision FCOS builds its AnchorGenerator with
+    sizes == strides, one aspect ratio)."""
+    lv = cfg.fcos_levels
+    grids = tuple(cfg.grid_sizes[i] for i in lv)
+    strides = tuple(float(cfg.image_size // g[0]) for g in grids)
+    a, counts = grid_anchors(
+        (cfg.image_size, cfg.image_size),
+        grids,
+        tuple((s,) for s in strides),
+        ((1.0,),) * len(lv),
     )
     return jnp.asarray(a), counts
 
@@ -440,6 +475,28 @@ def detector_loss(
         # torchvision RetinaNet's loss keys, prefixed like the reference's
         return _with_moe_aux(
             {"loss_classification": loss_cls, "loss_bbox_reg": loss_reg},
+            aux_out, cfg,
+        )
+    if cfg.detector_kind == "fcos":
+        from layoutdit_tpu.models.detection import fcos as fcos_mod
+
+        feats = _run_backbone(
+            params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
+        )
+        anchors_f, counts_f = _fcos_anchors(cfg)
+        cls_logits, ltrb, ctrness = fcos_mod.fcos_head_forward(
+            params["fcos_head"], [feats[i] for i in cfg.fcos_levels]
+        )
+        loss_cls, loss_reg, loss_ctr = fcos_mod.fcos_loss(
+            cls_logits, ltrb, ctrness, anchors_f, counts_f,
+            gt_boxes, gt_labels, gt_valid, cfg.budget,
+        )
+        return _with_moe_aux(
+            {
+                "loss_classification": loss_cls,
+                "loss_bbox_reg": loss_reg,
+                "loss_bbox_ctrness": loss_ctr,
+            },
             aux_out, cfg,
         )
     anchors, counts = _anchors(cfg)
@@ -618,6 +675,22 @@ def detector_predict(
                 (cfg.image_size, cfg.image_size), cfg.budget,
             )
         )(cls_logits, box_deltas)
+    if cfg.detector_kind == "fcos":
+        if with_masks:
+            raise ValueError("detector='fcos' has no mask branch")
+        from layoutdit_tpu.models.detection import fcos as fcos_mod
+
+        feats = _run_backbone(params, images, cfg, seq_sharding, pipeline)
+        anchors_f, counts_f = _fcos_anchors(cfg)
+        cls_logits, ltrb, ctrness = fcos_mod.fcos_head_forward(
+            params["fcos_head"], [feats[i] for i in cfg.fcos_levels]
+        )
+        return jax.vmap(
+            lambda cl, dl, ct: fcos_mod.fcos_postprocess_single(
+                cl, dl, ct, anchors_f, counts_f,
+                (cfg.image_size, cfg.image_size), cfg.budget,
+            )
+        )(cls_logits, ltrb, ctrness)
     anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline

@@ -40,6 +40,76 @@ def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """ELEMENTWISE generalized IoU of aligned box sets: [..., 4] x [..., 4]
+    -> [...] (torchvision ops.generalized_box_iou_loss pairing: GIoU =
+    IoU - (enclosure - union) / enclosure). Degenerate/empty boxes give
+    IoU 0 against the 0-area convention used by box_iou."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)
+    lt_e = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb_e = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    wh_e = jnp.clip(rb_e - lt_e, 0.0)
+    enclosure = wh_e[..., 0] * wh_e[..., 1]
+    return jnp.where(
+        enclosure > 0, iou - (enclosure - union) / enclosure, iou
+    )
+
+
+def encode_boxes_linear(
+    reference_boxes: jnp.ndarray, targets: jnp.ndarray,
+    normalize_by_size: bool = True,
+) -> jnp.ndarray:
+    """torchvision BoxLinearCoder.encode (FCOS): (l, t, r, b) distances
+    from the REFERENCE box center to the TARGET box sides, optionally
+    normalized by the reference box size."""
+    ctr_x = 0.5 * (reference_boxes[..., 0] + reference_boxes[..., 2])
+    ctr_y = 0.5 * (reference_boxes[..., 1] + reference_boxes[..., 3])
+    out = jnp.stack(
+        [
+            ctr_x - targets[..., 0],
+            ctr_y - targets[..., 1],
+            targets[..., 2] - ctr_x,
+            targets[..., 3] - ctr_y,
+        ],
+        axis=-1,
+    )
+    if normalize_by_size:
+        w = reference_boxes[..., 2] - reference_boxes[..., 0]
+        h = reference_boxes[..., 3] - reference_boxes[..., 1]
+        out = out / jnp.stack([w, h, w, h], axis=-1)
+    return out
+
+
+def decode_boxes_linear(
+    rel_codes: jnp.ndarray, boxes: jnp.ndarray,
+    normalize_by_size: bool = True,
+) -> jnp.ndarray:
+    """torchvision BoxLinearCoder.decode (FCOS): inverse of
+    encode_boxes_linear."""
+    ctr_x = 0.5 * (boxes[..., 0] + boxes[..., 2])
+    ctr_y = 0.5 * (boxes[..., 1] + boxes[..., 3])
+    if normalize_by_size:
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        rel_codes = rel_codes * jnp.stack([w, h, w, h], axis=-1)
+    return jnp.stack(
+        [
+            ctr_x - rel_codes[..., 0],
+            ctr_y - rel_codes[..., 1],
+            ctr_x + rel_codes[..., 2],
+            ctr_y + rel_codes[..., 3],
+        ],
+        axis=-1,
+    )
+
+
 def clip_boxes_to_image(boxes: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
     """Clamp xyxy boxes to [0,W]x[0,H] (torchvision clip_boxes_to_image)."""
     x1 = jnp.clip(boxes[..., 0], 0.0, width)

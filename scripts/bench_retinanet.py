@@ -1,12 +1,13 @@
-"""RetinaNet single-stage throughput on the real chip: train + infer img/s.
+"""Single-stage (RetinaNet / FCOS) throughput on the real chip.
 
 Same single-dispatch, DCE-proof methodology as bench.py / bench_cascade.py
 (whole loop in one jit, final carry returned, args donated, min-of-N
-timed dispatches). Run: ``python scripts/bench_retinanet.py``.
+timed dispatches). Run: ``python scripts/bench_retinanet.py``; set
+``BENCH_DETECTOR=fcos`` for the anchor-free family.
 
-Env knobs: BENCH_BATCH (16), BENCH_STEPS (10), BENCH_LEVELS
-("1,2,3,4" — pyramid subset the head runs on; "0,1,2,3,4" adds the
-stride-4 p2 level).
+Env knobs: BENCH_DETECTOR ("retinanet"|"fcos"), BENCH_BATCH (16),
+BENCH_STEPS (10), BENCH_LEVELS ("1,2,3,4" — pyramid subset the head
+runs on; "0,1,2,3,4" adds the stride-4 p2 level).
 """
 
 from __future__ import annotations
@@ -46,13 +47,14 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     unroll = int(os.environ.get("BENCH_UNROLL", steps))
+    detector = os.environ.get("BENCH_DETECTOR", "retinanet")
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_LEVELS", "1,2,3,4").split(",")
     )
 
     cfg = DetectorConfig(
-        compute_dtype="bfloat16", detector_kind="retinanet",
-        retinanet_levels=levels,
+        compute_dtype="bfloat16", detector_kind=detector,
+        retinanet_levels=levels, fcos_levels=levels,
     )
     # ONE jitted dispatch: eager init is hundreds of tiny RNG programs,
     # each paying the tunnel's 20-40 s fresh-executable load
@@ -127,7 +129,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "retinanet_dit_base_throughput",
+                "metric": f"{detector}_dit_base_throughput",
                 "train_img_per_s": round(train_ips, 1),
                 "infer_img_per_s": round(infer_ips, 1),
                 "unit": "images/sec/chip",
