@@ -330,6 +330,10 @@ class DetectionBudget(BaseModel):
     # Cells match a gt only within radius x cell-stride of its center.
     fcos_center_sampling_radius: float = 1.5
 
+    # ---- DETR family (ModelConfig.detector="detr"). Every query is a
+    # detection (no NMS); this threshold only gates the valid mask.
+    detr_score_thresh: float = 0.0
+
 
 class ModelConfig(BaseModel):
     """Reference: configuration/model_config.py:6-13 (same defaults) plus
@@ -386,6 +390,21 @@ class ModelConfig(BaseModel):
     # Pyramid levels for the FCOS head (reference points are stride-sized
     # squares; anchor_sizes/aspect_ratios are NOT consulted).
     fcos_levels: list[int] = [1, 2, 3, 4]
+
+    # ---- DETR (detector="detr"): set prediction over learned queries —
+    # no anchors, no NMS, everything statically shaped by construction
+    # (models/detection/detr.py). Defaults follow facebookresearch/detr.
+    detr_num_queries: int = 100
+    detr_layers: int = 6
+    detr_dim: int = 256
+    detr_heads: int = 8
+    detr_ffn_dim: int = 2048
+    # Background ("no object") class weight in the CE loss.
+    detr_eos_coef: float = 0.1
+    # Per-decoder-layer auxiliary losses (DETR trains with these on).
+    detr_aux_loss: bool = True
+    # Pyramid level the decoder cross-attends to (2 = stride 16).
+    detr_level: int = 2
 
     # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
     # head on PubLayNet's segmentation polygons and return per-detection

@@ -89,8 +89,9 @@ class DetectorConfig:
     # (image_size // 2).
     mask_gt_size: int = 0
     # Detector family: "faster_rcnn" (two-stage, reference parity),
-    # "retinanet" (single-stage; models/detection/retinanet.py), or
-    # "fcos" (anchor-free single-stage; models/detection/fcos.py).
+    # "retinanet" (single-stage; models/detection/retinanet.py),
+    # "fcos" (anchor-free single-stage; models/detection/fcos.py), or
+    # "detr" (NMS-free set prediction; models/detection/detr.py).
     detector_kind: str = "faster_rcnn"
     # Pyramid-level indices (into p2..p5+pool) the RetinaNet head runs on;
     # anchor_sizes/aspect_ratios rows are selected by the same indices.
@@ -98,6 +99,15 @@ class DetectorConfig:
     # Pyramid-level indices for the FCOS head (stride-sized square
     # reference points; anchor config not consulted).
     fcos_levels: tuple[int, ...] = (1, 2, 3, 4)
+    # DETR decoder hyper-parameters (facebookresearch/detr defaults).
+    detr_num_queries: int = 100
+    detr_layers: int = 6
+    detr_dim: int = 256
+    detr_heads: int = 8
+    detr_ffn_dim: int = 2048
+    detr_eos_coef: float = 0.1
+    detr_aux_loss: bool = True
+    detr_level: int = 2
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -191,12 +201,21 @@ class DetectorConfig:
             detector_kind=mc.detector,
             retinanet_levels=tuple(mc.retinanet_levels),
             fcos_levels=tuple(mc.fcos_levels),
+            detr_num_queries=mc.detr_num_queries,
+            detr_layers=mc.detr_layers,
+            detr_dim=mc.detr_dim,
+            detr_heads=mc.detr_heads,
+            detr_ffn_dim=mc.detr_ffn_dim,
+            detr_eos_coef=mc.detr_eos_coef,
+            detr_aux_loss=mc.detr_aux_loss,
+            detr_level=mc.detr_level,
         )
 
     def __post_init_validate__(self):  # called from __post_init__
-        if self.detector_kind not in ("faster_rcnn", "retinanet", "fcos"):
+        kinds = ("faster_rcnn", "retinanet", "fcos", "detr")
+        if self.detector_kind not in kinds:
             raise ValueError(f"unknown detector_kind {self.detector_kind!r}")
-        if self.detector_kind in ("retinanet", "fcos"):
+        if self.detector_kind != "faster_rcnn":
             if self.cascade_iou_threshs:
                 raise ValueError(
                     "cascade_iou_threshs is a Faster R-CNN modifier; "
@@ -207,18 +226,27 @@ class DetectorConfig:
                     "with_mask requires the RoI pipeline; "
                     f"detector={self.detector_kind!r} has no mask branch"
                 )
+        n_levels = len(self.grid_sizes)
+        if self.detector_kind in ("retinanet", "fcos"):
             levels = (
                 self.retinanet_levels
                 if self.detector_kind == "retinanet"
                 else self.fcos_levels
             )
-            n_levels = len(self.grid_sizes)
             bad = [i for i in levels if not 0 <= i < n_levels]
             if bad or not levels:
                 raise ValueError(
                     f"{self.detector_kind}_levels {levels} out of range "
                     f"for the {n_levels}-level pyramid"
                 )
+        if self.detector_kind == "detr":
+            if not 0 <= self.detr_level < n_levels:
+                raise ValueError(
+                    f"detr_level {self.detr_level} out of range for the "
+                    f"{n_levels}-level pyramid"
+                )
+            if self.detr_dim % self.detr_heads:
+                raise ValueError("detr_dim must divide by detr_heads")
 
 
 class _FrozenBudget(DetectionBudget):
@@ -265,6 +293,18 @@ def init_detector_params(key: jax.Array, cfg: DetectorConfig) -> dict:
             "backbone": bb_params,
             "fcos_head": init_fcos_head_params(
                 k_rpn, cfg.backbone.fpn_out_channels, cfg.num_classes + 1
+            ),
+        }
+    if cfg.detector_kind == "detr":
+        from layoutdit_tpu.models.detection.detr import init_detr_params
+
+        return {
+            "backbone": bb_params,
+            "detr": init_detr_params(
+                k_rpn, cfg.backbone.fpn_out_channels, cfg.num_classes + 1,
+                d_model=cfg.detr_dim, num_heads=cfg.detr_heads,
+                num_layers=cfg.detr_layers, ffn_dim=cfg.detr_ffn_dim,
+                num_queries=cfg.detr_num_queries,
             ),
         }
     params = {
@@ -499,6 +539,27 @@ def detector_loss(
             },
             aux_out, cfg,
         )
+    if cfg.detector_kind == "detr":
+        from layoutdit_tpu.models.detection import detr as detr_mod
+
+        if gt_boxes.shape[1] > cfg.detr_num_queries:
+            raise ValueError(
+                f"max_gt_boxes {gt_boxes.shape[1]} exceeds detr_num_queries "
+                f"{cfg.detr_num_queries}: the Hungarian assignment needs a "
+                "query per (padded) gt slot"
+            )
+        feats = _run_backbone(
+            params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
+        )
+        logits, boxes01 = detr_mod.detr_forward(
+            params["detr"], feats[cfg.detr_level], cfg.detr_heads,
+            return_intermediate=cfg.detr_aux_loss,
+        )
+        losses = detr_mod.detr_loss(
+            logits, boxes01, gt_boxes, gt_labels, gt_valid,
+            cfg.image_size, cfg.detr_eos_coef, cfg.detr_aux_loss,
+        )
+        return _with_moe_aux(losses, aux_out, cfg)
     anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline, aux_out=aux_out
@@ -691,6 +752,20 @@ def detector_predict(
                 (cfg.image_size, cfg.image_size), cfg.budget,
             )
         )(cls_logits, ltrb, ctrness)
+    if cfg.detector_kind == "detr":
+        if with_masks:
+            raise ValueError("detector='detr' has no mask branch")
+        from layoutdit_tpu.models.detection import detr as detr_mod
+
+        feats = _run_backbone(params, images, cfg, seq_sharding, pipeline)
+        logits, boxes01 = detr_mod.detr_forward(
+            params["detr"], feats[cfg.detr_level], cfg.detr_heads,
+            return_intermediate=False,
+        )
+        return detr_mod.detr_postprocess(
+            logits[-1], boxes01[-1], cfg.image_size,
+            cfg.budget.detr_score_thresh,
+        )
     anchors, counts = _anchors(cfg)
     feats, objectness, deltas = _run_trunk(
         params, images, cfg, seq_sharding, pipeline

@@ -1,0 +1,587 @@
+"""DETR set-prediction family tests: sine position embeddings and the
+torch-MHA attention semantics against independent oracles (torch IS
+installed here), Hungarian-matched loss vs a numpy+scipy transcription of
+DETR's SetCriterion, postprocess goldens, detector-level integration, and
+(slow) an overfit run plus the production Trainer->Evaluator path.
+
+Oracle provenance: facebookresearch/detr semantics transcribed by hand
+into numpy in this file (models/detection/detr.py docstring lists the
+deliberate deviations: background at class index 0, zero linear biases).
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layoutdit_tpu.config.constructs import DetectionBudget
+from layoutdit_tpu.models.backbone import BackboneConfig
+from layoutdit_tpu.models.detection.detector import (
+    DetectorConfig,
+    detector_loss,
+    detector_predict,
+    init_detector_params,
+)
+from layoutdit_tpu.models.detection.detr import (
+    BBOX_WEIGHT,
+    CLASS_WEIGHT,
+    GIOU_WEIGHT,
+    _attention,
+    _match_single,
+    detr_forward,
+    detr_loss,
+    detr_loss_one_level,
+    detr_postprocess,
+    init_detr_params,
+    sine_position_embedding,
+)
+from layoutdit_tpu.models.vit import ViTConfig
+
+# ------------------------------------------------------- position embedding
+
+
+def _sine_pos_oracle(h, w, d):
+    """Independent scalar transcription of DETR PositionEmbeddingSine
+    (normalize=True, scale=2*pi, temperature=1e4)."""
+    half = d // 2
+    out = np.zeros((h * w, d), np.float64)
+    for i in range(h):
+        for j in range(w):
+            ye = (i + 1) / (h + 1e-6) * 2 * math.pi
+            xe = (j + 1) / (w + 1e-6) * 2 * math.pi
+            row = np.zeros(d)
+            for k in range(half):
+                t = 10000.0 ** (2 * (k // 2) / half)
+                row[k] = math.sin(ye / t) if k % 2 == 0 else math.cos(ye / t)
+                row[half + k] = (
+                    math.sin(xe / t) if k % 2 == 0 else math.cos(xe / t)
+                )
+            out[i * w + j] = row
+    return out
+
+
+def test_sine_position_embedding_vs_oracle():
+    got = np.asarray(sine_position_embedding(3, 5, 8))
+    np.testing.assert_allclose(got, _sine_pos_oracle(3, 5, 8), atol=1e-6)
+    got = np.asarray(sine_position_embedding(4, 4, 32))
+    np.testing.assert_allclose(got, _sine_pos_oracle(4, 4, 32), atol=1e-6)
+
+
+def test_sine_position_embedding_row_major_and_bounded():
+    h, w, d = 7, 7, 64
+    pos = np.asarray(sine_position_embedding(h, w, d))
+    assert pos.shape == (h * w, d)
+    assert np.abs(pos).max() <= 1.0 + 1e-6
+    # y features constant along a row (same i), x features constant down a
+    # column (same j)
+    grid = pos.reshape(h, w, d)
+    np.testing.assert_allclose(grid[2, 0, : d // 2], grid[2, 5, : d // 2])
+    np.testing.assert_allclose(grid[0, 3, d // 2 :], grid[6, 3, d // 2 :])
+
+
+# ---------------------------------------------------------------- attention
+
+
+def test_attention_matches_torch_mha():
+    torch = pytest.importorskip("torch")
+
+    d, heads, nq, nk, b = 32, 4, 9, 15, 2
+    rng = np.random.default_rng(0)
+    p = {
+        "in_proj": {
+            "kernel": jnp.asarray(rng.normal(0, 0.2, (d, 3 * d)), jnp.float32),
+            "bias": jnp.asarray(rng.normal(0, 0.2, (3 * d,)), jnp.float32),
+        },
+        "out_proj": {
+            "kernel": jnp.asarray(rng.normal(0, 0.2, (d, d)), jnp.float32),
+            "bias": jnp.asarray(rng.normal(0, 0.2, (d,)), jnp.float32),
+        },
+    }
+    q = jnp.asarray(rng.normal(0, 1, (b, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, nk, d)), jnp.float32)
+    got = np.asarray(_attention(p, q, k, v, heads))
+
+    mha = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(
+            torch.from_numpy(np.asarray(p["in_proj"]["kernel"]).T)
+        )
+        mha.in_proj_bias.copy_(torch.from_numpy(np.asarray(p["in_proj"]["bias"])))
+        mha.out_proj.weight.copy_(
+            torch.from_numpy(np.asarray(p["out_proj"]["kernel"]).T)
+        )
+        mha.out_proj.bias.copy_(
+            torch.from_numpy(np.asarray(p["out_proj"]["bias"]))
+        )
+        want, _ = mha(
+            torch.from_numpy(np.asarray(q)),
+            torch.from_numpy(np.asarray(k)),
+            torch.from_numpy(np.asarray(v)),
+            need_weights=False,
+        )
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-5)
+
+
+# -------------------------------------------------------------------- loss
+
+
+def _cxcywh_to_xyxy_np(b):
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+    )
+
+
+def _giou_np(a, b):
+    ax1, ay1, ax2, ay2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx1, by1, bx2, by2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    iw = np.clip(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0, None)
+    ih = np.clip(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0, None)
+    inter = iw * ih
+    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    ew = np.maximum(ax2, bx2) - np.minimum(ax1, bx1)
+    eh = np.maximum(ay2, by2) - np.minimum(ay1, by1)
+    enc = ew * eh
+    return np.where(enc > 0, iou - (enc - union) / np.maximum(enc, 1e-12), iou)
+
+
+def _set_criterion_oracle(logits, boxes01, gt01, gt_labels, gt_valid,
+                          num_boxes, eos_coef):
+    """numpy+scipy transcription of DETR SetCriterion for one decoder
+    layer; matching over VALID gts only (no padded rows)."""
+    from scipy.optimize import linear_sum_assignment as lsa
+
+    b, q, k = logits.shape
+    tgt = np.zeros((b, q), np.int64)  # background = 0
+    matches = []
+    for i in range(b):
+        prob = np.exp(logits[i]) / np.exp(logits[i]).sum(-1, keepdims=True)
+        real = np.where(gt_valid[i])[0]
+        g01 = gt01[i][real]
+        cost = (
+            CLASS_WEIGHT * (-prob[:, gt_labels[i][real]])
+            + BBOX_WEIGHT
+            * np.abs(boxes01[i][:, None] - g01[None]).sum(-1)
+            + GIOU_WEIGHT
+            * (-_giou_np(
+                _cxcywh_to_xyxy_np(boxes01[i])[:, None],
+                _cxcywh_to_xyxy_np(g01)[None],
+            ))
+        )
+        rows, cols = lsa(cost.T)  # gt -> query
+        matches.append((real[rows], cols))
+        tgt[i, cols] = gt_labels[i][real[rows]]
+    logp = logits - np.log(
+        np.exp(logits).sum(-1, keepdims=True)
+    )
+    ce = -np.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    wts = np.where(tgt == 0, eos_coef, 1.0)
+    loss_ce = (wts * ce).sum() / wts.sum()
+
+    l1 = giou_sum = 0.0
+    for i, (gs, qs) in enumerate(matches):
+        pred = boxes01[i][qs]
+        gt = gt01[i][gs]
+        l1 += np.abs(pred - gt).sum()
+        giou_sum += (
+            1 - _giou_np(_cxcywh_to_xyxy_np(pred), _cxcywh_to_xyxy_np(gt))
+        ).sum()
+    return {
+        "loss_ce": CLASS_WEIGHT * loss_ce,
+        "loss_bbox": BBOX_WEIGHT * l1 / num_boxes,
+        "loss_giou": GIOU_WEIGHT * giou_sum / num_boxes,
+    }
+
+
+def test_loss_one_level_vs_scipy_oracle():
+    pytest.importorskip("scipy")
+    rng = np.random.default_rng(7)
+    b, q, g, k = 3, 12, 4, 6
+    logits = rng.normal(0, 1.5, (b, q, k)).astype(np.float32)
+    boxes01 = rng.uniform(0.05, 0.95, (b, q, 4)).astype(np.float32)
+    boxes01[..., 2:] *= 0.3  # keep w,h sane
+    gt01 = rng.uniform(0.1, 0.8, (b, g, 4)).astype(np.float32)
+    gt01[..., 2:] = rng.uniform(0.05, 0.3, (b, g, 2))
+    gt_labels = rng.integers(1, k, (b, g)).astype(np.int32)
+    gt_valid = np.asarray(
+        [[True, True, True, False], [True, False, False, False],
+         [True, True, True, True]]
+    )
+    gt_labels = np.where(gt_valid, gt_labels, 0).astype(np.int32)
+    gt01 = np.where(gt_valid[..., None], gt01, 0.0).astype(np.float32)
+    num_boxes = float(gt_valid.sum())
+
+    got = jax.jit(detr_loss_one_level, static_argnums=(6,))(
+        jnp.asarray(logits), jnp.asarray(boxes01), jnp.asarray(gt01),
+        jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+        jnp.float32(num_boxes), 0.1,
+    )
+    want = _set_criterion_oracle(
+        logits.astype(np.float64), boxes01.astype(np.float64),
+        gt01.astype(np.float64), gt_labels, gt_valid, num_boxes, 0.1,
+    )
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(
+            float(got[key]), want[key], rtol=1e-4, err_msg=key
+        )
+
+
+def test_match_padding_invariance():
+    """Real gt slots get the same queries no matter how many padded slots
+    ride along (padded rows are constant-cost absorbers)."""
+    rng = np.random.default_rng(3)
+    q, k = 10, 5
+    logits = jnp.asarray(rng.normal(0, 1, (q, k)), jnp.float32)
+    boxes01 = jnp.asarray(rng.uniform(0.2, 0.8, (q, 4)), jnp.float32)
+    gt = rng.uniform(0.2, 0.7, (3, 4)).astype(np.float32)
+    labels = np.asarray([1, 2, 4], np.int32)
+
+    def run(pad):
+        g01 = np.concatenate([gt, np.zeros((pad, 4), np.float32)])
+        lab = np.concatenate([labels, np.zeros(pad, np.int32)])
+        val = np.concatenate([np.ones(3, bool), np.zeros(pad, bool)])
+        m = _match_single(
+            logits, boxes01, jnp.asarray(g01), jnp.asarray(lab),
+            jnp.asarray(val),
+        )
+        return np.asarray(m)[:3]
+
+    base = run(0)
+    for pad in (1, 4, 7):
+        np.testing.assert_array_equal(run(pad), base)
+
+
+def test_aux_loss_keys_and_final_layer_consistency():
+    rng = np.random.default_rng(1)
+    L, b, q, k = 3, 2, 8, 4
+    logits = jnp.asarray(rng.normal(0, 1, (L, b, q, k)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.1, 0.6, (L, b, q, 4)), jnp.float32)
+    gt_boxes = jnp.asarray(
+        [[[10, 10, 40, 50], [0, 0, 0, 0]], [[5, 20, 60, 60], [0, 0, 0, 0]]],
+        jnp.float32,
+    )
+    gt_labels = jnp.asarray([[1, 0], [3, 0]], jnp.int32)
+    gt_valid = jnp.asarray([[True, False], [True, False]])
+
+    with_aux = detr_loss(
+        logits, boxes, gt_boxes, gt_labels, gt_valid, 64, 0.1, True
+    )
+    assert set(with_aux) == {
+        f"{n}{s}" for n in ("loss_ce", "loss_bbox", "loss_giou")
+        for s in ("", "_aux0", "_aux1")
+    }
+    final_only = detr_loss(
+        logits[-1:], boxes[-1:], gt_boxes, gt_labels, gt_valid, 64, 0.1,
+        False,
+    )
+    for n in ("loss_ce", "loss_bbox", "loss_giou"):
+        assert float(with_aux[n]) == pytest.approx(float(final_only[n]))
+
+
+def test_loss_no_valid_gt_is_finite_with_grads():
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.normal(0, 1, (1, 2, 6, 4)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.6, (1, 2, 6, 4)), jnp.float32)
+    gt_boxes = jnp.zeros((2, 3, 4), jnp.float32)
+    gt_labels = jnp.zeros((2, 3), jnp.int32)
+    gt_valid = jnp.zeros((2, 3), bool)
+
+    def total(lg, bx):
+        return sum(
+            detr_loss(lg, bx, gt_boxes, gt_labels, gt_valid, 64, 0.1, False)
+            .values()
+        )
+
+    loss, grads = jax.value_and_grad(total, argnums=(0, 1))(logits, boxes)
+    assert np.isfinite(float(loss))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------- forward
+
+
+def test_forward_shapes_and_intermediate_stack():
+    p = init_detr_params(
+        jax.random.PRNGKey(0), in_channels=16, num_classes_bg=6,
+        d_model=32, num_heads=4, num_layers=3, ffn_dim=48, num_queries=7,
+    )
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 16, 4, 4)), jnp.float32
+    )
+    logits, boxes = detr_forward(p, feat, num_heads=4, return_intermediate=True)
+    assert logits.shape == (3, 2, 7, 6) and boxes.shape == (3, 2, 7, 4)
+    assert logits.dtype == jnp.float32
+    assert float(boxes.min()) >= 0.0 and float(boxes.max()) <= 1.0
+    lf, bf = detr_forward(p, feat, num_heads=4, return_intermediate=False)
+    assert lf.shape == (1, 2, 7, 6)
+    np.testing.assert_allclose(
+        np.asarray(lf[0]), np.asarray(logits[-1]), atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------- predict
+
+
+def test_postprocess_golden():
+    # 2 queries, 3 classes (bg + 2 fg): hand-computed softmax scores
+    logits = jnp.asarray(
+        [[[0.0, 2.0, 0.0], [0.0, 0.0, 1.0]]], jnp.float32
+    )
+    boxes01 = jnp.asarray(
+        [[[0.5, 0.5, 0.5, 0.5], [0.25, 0.25, 0.2, 0.3]]], jnp.float32
+    )
+    dets = detr_postprocess(logits, boxes01, image_size=100, score_thresh=0.0)
+    e2 = math.exp(2.0)
+    e1 = math.exp(1.0)
+    s0 = e2 / (2 + e2)  # query 0 class 1
+    s1 = e1 / (2 + e1)  # query 1 class 2
+    assert s0 > s1  # query 0 sorts first
+    np.testing.assert_allclose(
+        np.asarray(dets.scores[0]), [s0, s1], rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(dets.labels[0]), [1, 2])
+    np.testing.assert_allclose(
+        np.asarray(dets.boxes[0]),
+        [[25.0, 25.0, 75.0, 75.0], [15.0, 10.0, 35.0, 40.0]],
+        atol=1e-4,
+    )
+    assert bool(dets.valid.all())
+
+
+def test_postprocess_clips_and_thresholds():
+    logits = jnp.asarray([[[0.0, 3.0], [3.0, 0.0]]], jnp.float32)  # 1 fg class
+    boxes01 = jnp.asarray(
+        [[[0.0, 0.5, 0.4, 0.4], [0.9, 0.9, 0.5, 0.5]]], jnp.float32
+    )
+    dets = detr_postprocess(logits, boxes01, image_size=64, score_thresh=0.5)
+    b = np.asarray(dets.boxes)
+    assert (b >= 0).all() and (b <= 64).all()
+    # query with bg-dominant softmax (score ~0.047) is below 0.5
+    v = np.asarray(dets.valid[0])
+    assert v[0] and not v[1]
+
+
+# --------------------------------------------------------------- detector
+
+
+def _tiny_detr_cfg(**kw):
+    tiny_vit = ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=64,
+    )
+    kw.setdefault("detr_num_queries", 16)
+    kw.setdefault("detr_layers", 2)
+    kw.setdefault("detr_dim", 32)
+    kw.setdefault("detr_heads", 4)
+    kw.setdefault("detr_ffn_dim", 64)
+    return DetectorConfig(
+        backbone=BackboneConfig(vit=tiny_vit, fpn_out_channels=32),
+        image_size=64, budget=DetectionBudget(), detector_kind="detr", **kw,
+    )
+
+
+def _tiny_batch():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64)), jnp.float32)
+    gt_boxes = jnp.asarray(
+        [[[5, 5, 30, 40], [20, 10, 60, 50], [0, 0, 0, 0]],
+         [[10, 10, 50, 60], [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32,
+    )
+    gt_labels = jnp.asarray([[1, 3, 0], [2, 0, 0]], jnp.int32)
+    gt_valid = jnp.asarray([[True, True, False], [True, False, False]])
+    return images, gt_boxes, gt_labels, gt_valid
+
+
+@pytest.fixture(scope="module")
+def tiny_detr():
+    cfg = _tiny_detr_cfg()
+    return cfg, init_detector_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_detector_loss_keys_and_grads(tiny_detr):
+    cfg, params = tiny_detr
+    assert set(params) == {"backbone", "detr"}
+    images, gt_boxes, gt_labels, gt_valid = _tiny_batch()
+    losses = jax.jit(
+        lambda p, r: detector_loss(p, r, images, gt_boxes, gt_labels, gt_valid, cfg)
+    )(params, jax.random.PRNGKey(1))
+    assert set(losses) == {
+        f"{n}{s}" for n in ("loss_ce", "loss_bbox", "loss_giou")
+        for s in ("", "_aux0")
+    }
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    g = jax.jit(jax.grad(
+        lambda p, r: sum(
+            detector_loss(p, r, images, gt_boxes, gt_labels, gt_valid, cfg).values()
+        )
+    ))(params, jax.random.PRNGKey(1))
+    zeros = [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g)
+        if float(jnp.abs(leaf).sum()) == 0
+    ]
+    # Legitimate zero grads at INIT: FPN convs for pyramid levels the
+    # decoder never reads, and layer0's self-attention kernels + ln1
+    # scale — tgt starts at zeros so the value path is identically zero
+    # until the in_proj bias moves (true of torch DETR too).
+    for z in zeros:
+        assert "fpn" in z or (
+            "layer0" in z and ("self_attn" in z or "ln1" in z)
+        ), (z, zeros)
+
+    # after one perturbing step every decoder leaf must be live
+    noisy = jax.tree.map(
+        lambda x, k: x + 0.01 * jax.random.normal(k, x.shape, x.dtype),
+        params,
+        jax.tree.unflatten(
+            jax.tree.structure(params),
+            list(jax.random.split(
+                jax.random.PRNGKey(9), len(jax.tree.leaves(params))
+            )),
+        ),
+    )
+    g2 = jax.jit(jax.grad(
+        lambda p, r: sum(
+            detector_loss(p, r, images, gt_boxes, gt_labels, gt_valid, cfg).values()
+        )
+    ))(noisy, jax.random.PRNGKey(1))
+    detr_zeros = [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g2["detr"])
+        if float(jnp.abs(leaf).sum()) == 0
+    ]
+    assert not detr_zeros, detr_zeros
+
+
+def test_detector_predict_and_no_gt(tiny_detr):
+    cfg, params = tiny_detr
+    images, gt_boxes, gt_labels, _ = _tiny_batch()
+    dets = jax.jit(lambda p: detector_predict(p, images, cfg))(params)
+    assert dets.boxes.shape == (2, cfg.detr_num_queries, 4)
+    lab = np.asarray(dets.labels)[np.asarray(dets.valid)]
+    if lab.size:
+        assert ((lab >= 1) & (lab <= cfg.num_classes)).all()
+    s = np.asarray(dets.scores)
+    assert (np.diff(s, axis=-1) <= 1e-6).all()  # score-sorted
+    losses = jax.jit(
+        lambda p, r: detector_loss(
+            p, r, images, gt_boxes, gt_labels,
+            jnp.zeros_like(gt_labels, bool), cfg,
+        )
+    )(params, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="cascade"):
+        _tiny_detr_cfg(cascade_iou_threshs=(0.5, 0.6))
+    with pytest.raises(ValueError, match="mask"):
+        _tiny_detr_cfg(with_mask=True)
+    with pytest.raises(ValueError, match="detr_level"):
+        _tiny_detr_cfg(detr_level=9)
+    with pytest.raises(ValueError, match="detr_heads"):
+        _tiny_detr_cfg(detr_dim=30, detr_heads=4)
+    cfg = _tiny_detr_cfg(detr_num_queries=2)
+    images, gt_boxes, gt_labels, gt_valid = _tiny_batch()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="detr_num_queries"):
+        detector_loss(
+            params, jax.random.PRNGKey(1), images, gt_boxes, gt_labels,
+            gt_valid, cfg,
+        )
+
+
+def test_from_model_config_roundtrip():
+    from layoutdit_tpu.config.constructs import ModelConfig
+
+    mc = ModelConfig(
+        detector="detr", detr_num_queries=50, detr_layers=3, detr_dim=128,
+        detr_heads=4, detr_ffn_dim=256, detr_eos_coef=0.2, detr_aux_loss=False,
+        detr_level=1,
+    )
+    cfg = DetectorConfig.from_model_config(mc)
+    assert cfg.detector_kind == "detr"
+    assert cfg.detr_num_queries == 50 and cfg.detr_layers == 3
+    assert cfg.detr_dim == 128 and cfg.detr_heads == 4
+    assert cfg.detr_ffn_dim == 256 and cfg.detr_eos_coef == 0.2
+    assert cfg.detr_aux_loss is False and cfg.detr_level == 1
+
+
+@pytest.mark.slow
+def test_detr_overfits_tiny_batch():
+    import optax
+
+    cfg = _tiny_detr_cfg(detr_layers=3)
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    images, gt_boxes, gt_labels, gt_valid = _tiny_batch()
+
+    tx = optax.adamw(2e-4)
+    opt_state = tx.init(params)
+
+    def step(carry, r):
+        p, s = carry
+
+        def total(p_):
+            d = detector_loss(p_, r, images, gt_boxes, gt_labels, gt_valid, cfg)
+            return sum(d.values())
+
+        loss, g = jax.value_and_grad(total)(p)
+        updates, s = tx.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), loss
+
+    @jax.jit
+    def run(p, s, key):
+        return jax.lax.scan(step, (p, s), jax.random.split(key, 250))
+
+    (params, _), losses = run(params, opt_state, jax.random.PRNGKey(42))
+    losses = np.asarray(losses)
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+    dets = jax.jit(lambda p: detector_predict(p, images, cfg))(params)
+    from layoutdit_tpu.ops.boxes import box_iou
+
+    top = dets.boxes[0, 0]
+    ious = box_iou(top[None], gt_boxes[0][:2])
+    assert float(ious.max()) > 0.25, np.asarray(ious)
+
+
+@pytest.mark.slow
+def test_detr_trainer_eval_e2e(tmp_path):
+    """config(detector=detr) -> Trainer -> Evaluator, production path."""
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
+
+    root = str(tmp_path)
+    make_fixture(root, n_images=8, split="samples", seed=1)
+    write_fixture_config(root, epochs=1, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(os.path.join(root, "cfg.json"))))
+    cfg.detection_model_config.detector = "detr"
+    cfg.detection_model_config.detr_num_queries = 32  # >= max_gt_boxes
+    cfg.detection_model_config.detr_layers = 2
+    cfg.detection_model_config.detr_dim = 32
+    cfg.detection_model_config.detr_heads = 4
+    cfg.detection_model_config.detr_ffn_dim = 64
+    set_layout_dit_config(cfg)
+    try:
+        from layoutdit_tpu.eval.evaluator import Evaluator
+        from layoutdit_tpu.models.model import build_model
+        from layoutdit_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert np.isfinite(trainer.loss_history[0])
+        metrics = Evaluator(model=model, layout_dit_config=cfg).score()
+        assert metrics is not None and np.isfinite(metrics["mAP"])
+    finally:
+        set_layout_dit_config(None)
