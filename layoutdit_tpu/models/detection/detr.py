@@ -284,11 +284,12 @@ def detr_loss_one_level(
     gt_valid: jnp.ndarray,  # [B, G]
     num_boxes: jnp.ndarray,  # scalar, batch-total valid gt (>=1)
     eos_coef: float,
+    match: jnp.ndarray | None = None,  # [B, G] precomputed assignment
 ) -> dict[str, jnp.ndarray]:
-    k = logits.shape[-1]
-    match = jax.vmap(_match_single)(
-        logits, boxes01, gt01, gt_labels, gt_valid
-    )  # [B, G] query index per gt slot
+    if match is None:
+        match = jax.vmap(_match_single)(
+            logits, boxes01, gt01, gt_labels, gt_valid
+        )  # [B, G] query index per gt slot
 
     # classification: scatter gt labels onto matched queries, bg elsewhere
     b, q = logits.shape[:2]
@@ -332,15 +333,27 @@ def detr_loss(
     gt01 = jnp.where(gt_valid[..., None], gt01, 0.0)
     num_boxes = jnp.maximum(gt_valid.sum(), 1).astype(jnp.float32)
 
+    # ONE vmapped Hungarian solve over every (decoder layer, image) pair.
+    # The JV solver (ops/matching.py) is serial in its row/Dijkstra loops;
+    # vmapping the level axis into the batch pays that serial depth once
+    # instead of once per decoder layer (measured 3.3x on the isolated
+    # matcher at L=6/B=8/Q=100/G=32 on-chip — PERF_STAGES.md "DETR
+    # matcher batching").
+    lv = logits if aux_loss else logits[-1:]
+    bv = boxes01 if aux_loss else boxes01[-1:]
+    match_all = jax.vmap(
+        jax.vmap(_match_single), in_axes=(0, 0, None, None, None)
+    )(lv, bv, gt01, gt_labels, gt_valid)  # [L, B, G]
+
     losses = detr_loss_one_level(
         logits[-1], boxes01[-1], gt01, gt_labels, gt_valid, num_boxes,
-        eos_coef,
+        eos_coef, match=match_all[-1],
     )
     if aux_loss:
         for i in range(logits.shape[0] - 1):
             aux = detr_loss_one_level(
                 logits[i], boxes01[i], gt01, gt_labels, gt_valid, num_boxes,
-                eos_coef,
+                eos_coef, match=match_all[i],
             )
             losses.update({f"{k}_aux{i}": v for k, v in aux.items()})
     return losses
