@@ -174,6 +174,12 @@ class TrainingConfig(BaseModel):
     seed: int = 0
     # Gradient clipping (0 disables); reference has none.
     grad_clip_norm: float = 0.0
+    # When the model carries LoRA adapters (ModelConfig.lora_rank > 0),
+    # freeze the non-adapter encoder weights: their updates are zeroed
+    # and they get NO optimizer moments (optax.masked). False trains
+    # everything end to end with adapters still present (rarely wanted;
+    # for ablations).
+    lora_freeze_base: bool = True
     # Storage dtype for Adam's first moment (optax mu_dtype). "bfloat16"
     # halves mu's HBM footprint and per-step read+write traffic (~0.7 GB
     # at dit-base's 86 M params) at the cost of moment precision — the
@@ -405,6 +411,18 @@ class ModelConfig(BaseModel):
     detr_aux_loss: bool = True
     # Pyramid level the decoder cross-attends to (2 = stride 16).
     detr_level: int = 2
+
+    # ---- LoRA (models/lora.py, beyond-reference): freeze the pretrained
+    # encoder and train rank-r adapters on the side — the fresh detection
+    # stack (FPN/heads) stays fully trainable. Optimizer moments shrink
+    # from O(encoder) to O(adapters+heads) (optax.masked). 0 = off
+    # (full fine-tune, reference parity). Serve/export via
+    # tools/merge_lora (folds W += alpha/r * A@B, zero inference cost).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    # Projections to adapt, from {q, k, v, attn_out, mlp_in, mlp_out};
+    # the paper's default adapts attention q/v only.
+    lora_targets: list[str] = ["q", "v"]
 
     # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
     # head on PubLayNet's segmentation polygons and return per-detection

@@ -143,9 +143,15 @@ class BatchInferenceEngine:
                 "cover)"
             )
         if int8:
+            from layoutdit_tpu.models.lora import merge_lora_detector
             from layoutdit_tpu.ops.quant import quantize_detector_params
 
-            params = quantize_detector_params(model.params)
+            # fold any LoRA adapters into the kernels first — int8
+            # quantization works on merged weights (ops/quant.py raises
+            # on unmerged adapters rather than dropping them)
+            params = quantize_detector_params(
+                merge_lora_detector(model.params, model.cfg.backbone.vit)
+            )
         else:
             params = model.params
         if mesh is not None:

@@ -177,6 +177,18 @@ class DetectorConfig:
             vit_cfg = dataclasses.replace(vit_cfg, **overrides)
         elif mc.image_size != vit_cfg.image_size:
             vit_cfg = dataclasses.replace(vit_cfg, image_size=mc.image_size)
+        if mc.lora_rank > 0:
+            if mc.backbone_type == BackboneType.RESNET50:
+                raise ValueError(
+                    "lora_rank targets the pretrained DiT/BEiT encoder; "
+                    "the resnet50 backbone has no LoRA support"
+                )
+            vit_cfg = dataclasses.replace(
+                vit_cfg,
+                lora_rank=mc.lora_rank,
+                lora_alpha=mc.lora_alpha,
+                lora_targets=tuple(mc.lora_targets),
+            )
         backbone_kind = (
             "resnet50" if mc.backbone_type == BackboneType.RESNET50 else "dit"
         )

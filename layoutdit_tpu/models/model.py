@@ -49,6 +49,7 @@ class LayoutDetectionModel:
         self.cfg = DetectorConfig.from_model_config(
             model_config, precision_dtype=compute_dtype
         )
+        self._seed = seed
         self.params = init_detector_params(jax.random.PRNGKey(seed), self.cfg)
 
         ckpt = previous_layout_dit_checkpoint or model_config.previous_layout_dit_checkpoint
@@ -76,9 +77,15 @@ class LayoutDetectionModel:
             # Encoder weights are size-independent (pos-embeds are
             # interpolated at forward time, weights_io/vit), so compare the
             # architecture with image_size masked out — a 1024 px fine-tune
-            # must still warm-start.
+            # must still warm-start. LoRA fields are masked too: adapters
+            # sit BESIDE the pretrained weights (models/lora.py), so a
+            # LoRA fine-tune warm-starts the same checkpoint.
             arch_match = preset and dataclasses.replace(
-                self.cfg.backbone.vit, image_size=ref.image_size
+                self.cfg.backbone.vit,
+                image_size=ref.image_size,
+                lora_rank=ref.lora_rank,
+                lora_alpha=ref.lora_alpha,
+                lora_targets=ref.lora_targets,
             ) == ref
             if arch_match:
                 ckpt = local_checkpoint(preset)
@@ -105,7 +112,18 @@ class LayoutDetectionModel:
         from layoutdit_tpu.models.weights_io import load_beit_checkpoint
 
         vit_cfg = self.cfg.backbone.vit
-        self.params["backbone"]["vit"] = load_beit_checkpoint(path, vit_cfg)
+        vit_params = load_beit_checkpoint(path, vit_cfg)
+        if vit_cfg.lora_rank > 0:
+            # Pretrained checkpoints carry no adapters; re-attach fresh
+            # zero-delta LoRA factors around the loaded weights (B = 0,
+            # so the warm-started forward is exactly the pretrained one).
+            from layoutdit_tpu.models.lora import add_lora_params
+
+            vit_params = add_lora_params(
+                vit_params, vit_cfg,
+                jax.random.fold_in(jax.random.PRNGKey(self._seed), 0x10FA),
+            )
+        self.params["backbone"]["vit"] = vit_params
         logger.info("Warm-started DiT encoder from %s", path)
 
     def num_params(self) -> int:

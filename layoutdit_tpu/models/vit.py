@@ -58,6 +58,14 @@ class ViTConfig:
     moe_capacity_factor: float = 1.25
     moe_every_n: int = 2
     moe_aux_weight: float = 0.01
+    # LoRA adapters (models/lora.py) — parameter-efficient fine-tuning of
+    # the pretrained encoder. 0 = off (full fine-tune, reference parity).
+    # When > 0, every targeted projection gains rank-r factors
+    # (y += alpha/r * x A B, B zero-init) and the Trainer freezes the
+    # non-adapter encoder weights (optax.masked — no moments allocated).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple[str, ...] = ("q", "v")
 
     def is_moe_layer(self, layer_idx_1based: int) -> bool:
         return (
@@ -76,6 +84,10 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def lora_scaling(self) -> float:
+        return self.lora_alpha / self.lora_rank if self.lora_rank > 0 else 1.0
 
 
 # Presets mirroring the HF checkpoints the reference can load.
@@ -175,6 +187,13 @@ def init_vit_params(key: jax.Array, cfg: ViTConfig) -> dict:
             )
         layers.append(layer)
     params["layers"] = layers
+    if cfg.lora_rank > 0:
+        # fold_in rather than consuming from `keys`: the base-weight RNG
+        # stream stays bit-identical to the rank=0 init, so seed-pinned
+        # tests (convergence floors, goldens) are unaffected by adapters.
+        from layoutdit_tpu.models.lora import add_lora_params
+
+        params = add_lora_params(params, cfg, jax.random.fold_in(key, 0x10FA))
     return params
 
 
@@ -186,17 +205,24 @@ def _layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def _linear(x: jnp.ndarray, p: dict, lora_scale: float = 1.0) -> jnp.ndarray:
     if "kernel_q" in p:
         # int8 serving path (ops/quant.py): s8xs8->s32 on the MXU at 2x
-        # the bf16 rate, dequantized by row x column scales.
+        # the bf16 rate, dequantized by row x column scales. Adapters are
+        # merged into the kernel before quantization (quantize_vit_params),
+        # so no lora branch here.
         from layoutdit_tpu.ops.quant import int8_linear
 
         return int8_linear(x, p)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"]
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    if "lora_a" in p:
+        from layoutdit_tpu.models.lora import lora_delta
+
+        y = y + lora_delta(x, p, lora_scale)
+    return y
 
 
 def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -262,6 +288,21 @@ def _attention(
         qkv = (
             jnp.dot(x, qkv_kernel, preferred_element_type=jnp.float32) + qkv_bias
         ).astype(x.dtype)
+    if any("lora_a" in layer[nm] for nm in ("q", "k", "v")):
+        # LoRA deltas ride beside the fused GEMM: same pre-LN input, two
+        # skinny rank-r GEMMs per adapted projection (models/lora.py).
+        from layoutdit_tpu.models.lora import lora_delta
+
+        scale = cfg.lora_scaling
+        qkv = qkv + jnp.concatenate(
+            [
+                lora_delta(x, layer[nm], scale)
+                if "lora_a" in layer[nm]
+                else jnp.zeros_like(qkv[..., :d])
+                for nm in ("q", "k", "v")
+            ],
+            axis=-1,
+        )
     q = qkv[..., :d].reshape(b, n, h, hd)
     k = qkv[..., d:2 * d].reshape(b, n, h, hd)
     v = qkv[..., 2 * d:].reshape(b, n, h, hd)
@@ -325,7 +366,7 @@ def _attention(
         ctx = jnp.einsum(
             "bhnm,bmhd->bnhd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    return _linear(ctx.reshape(b, n, d), layer["attn_out"])
+    return _linear(ctx.reshape(b, n, d), layer["attn_out"], cfg.lora_scaling)
 
 
 def _pos_embed_for_grid(pos_embed: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
@@ -420,9 +461,9 @@ def encoder_block_aux(
             y, layer, cfg.num_experts, cfg.moe_top_k, cfg.moe_capacity_factor
         )
     else:
-        y = _linear(y, layer["mlp_in"])
+        y = _linear(y, layer["mlp_in"], cfg.lora_scaling)
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
-        y = _linear(y, layer["mlp_out"])
+        y = _linear(y, layer["mlp_out"], cfg.lora_scaling)
     if "lambda_2" in layer:
         y = y * layer["lambda_2"].astype(y.dtype)
     return x + y, aux

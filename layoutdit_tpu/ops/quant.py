@@ -47,6 +47,11 @@ VIT_INT8_DEFAULT_KEYS = ("q", "k", "v", "mlp_in")
 
 def quantize_linear(p: dict) -> dict:
     """{'kernel': f32 [K, N], ...} -> int8 weights + per-column scale."""
+    if "lora_a" in p:
+        raise ValueError(
+            "unmerged LoRA adapters would be silently dropped by int8 "
+            "quantization; fold them first (models/lora.py merge_lora)"
+        )
     w = p["kernel"].astype(jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # [N]
     scale = jnp.maximum(scale, 1e-8)

@@ -46,13 +46,20 @@ logger = get_logger(__name__)
 def _vit_layer_specs(model_axis: str) -> dict:
     col = P(None, model_axis)  # output-dim sharded
     row = P(model_axis, None)  # input-dim sharded
+    # LoRA factors (models/lora.py) mirror the kernel they adapt: on
+    # column-parallel projections A ([D, r]) is replicated and B ([r, D])
+    # shards its output dim; on row-parallel ones A shards its input dim
+    # and B is replicated — the delta's partial sums join the kernel's
+    # existing psum. The rank dim (r <= 64) is never sharded.
+    lora_col = {"lora_a": P(), "lora_b": P(None, model_axis)}
+    lora_row = {"lora_a": P(model_axis, None), "lora_b": P()}
     return {
-        "q": {"kernel": col, "bias": P(model_axis)},
-        "k": {"kernel": col},
-        "v": {"kernel": col, "bias": P(model_axis)},
-        "attn_out": {"kernel": row, "bias": P()},
-        "mlp_in": {"kernel": col, "bias": P(model_axis)},
-        "mlp_out": {"kernel": row, "bias": P()},
+        "q": {"kernel": col, "bias": P(model_axis), **lora_col},
+        "k": {"kernel": col, **lora_col},
+        "v": {"kernel": col, "bias": P(model_axis), **lora_col},
+        "attn_out": {"kernel": row, "bias": P(), **lora_row},
+        "mlp_in": {"kernel": col, "bias": P(model_axis), **lora_col},
+        "mlp_out": {"kernel": row, "bias": P(), **lora_row},
         # MoE layers (ops/moe.py): EXPERT parallelism — the expert dim of
         # the stacked [E, D, F] kernels shards over 'model', so each shard
         # owns E/tp experts and GSPMD exchanges tokens at the dispatch /

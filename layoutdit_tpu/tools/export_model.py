@@ -59,9 +59,12 @@ def main(argv=None) -> None:
         # artifact's flat leaves and the StableHLO program carries the
         # dynamic-activation-quant matmuls — the serving box never sees
         # a quantization pass
+        from layoutdit_tpu.models.lora import merge_lora_detector
         from layoutdit_tpu.ops.quant import quantize_detector_params
 
-        params = quantize_detector_params(params)
+        params = quantize_detector_params(
+            merge_lora_detector(params, model.cfg.backbone.vit)
+        )
     manifest = export_detector(
         params, model.cfg, args.out,
         image_sizes=sizes, batch_size=args.batch_size, platforms=platforms,

@@ -88,8 +88,16 @@ def make_lr_schedule(train_cfg: TrainingConfig, steps_per_epoch: int):
     return lr_schedule
 
 
-def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
-    """AdamW + the configured LR schedule as one optax chain."""
+def make_optimizer(
+    train_cfg: TrainingConfig, steps_per_epoch: int, trainable_mask_fn=None,
+):
+    """AdamW + the configured LR schedule as one optax chain.
+
+    trainable_mask_fn: optional callable(pytree) -> bool pytree (True =
+    trainable). When given, frozen leaves get zeroed updates AND no
+    optimizer moments (optax.masked wraps AdamW, so frozen leaves hold a
+    stateless MaskedNode) — the LoRA recipe's memory win
+    (models/lora.py)."""
     mu_dtype = getattr(train_cfg, "adam_mu_dtype", "float32")
     if mu_dtype not in ("float32", "bfloat16"):
         raise ValueError(
@@ -105,6 +113,20 @@ def make_optimizer(train_cfg: TrainingConfig, steps_per_epoch: int):
     )
     if train_cfg.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    if trainable_mask_fn is not None:
+        def _frozen_mask_fn(tree):
+            return jax.tree_util.tree_map(
+                lambda b: not b, trainable_mask_fn(tree)
+            )
+
+        tx = optax.chain(
+            # frozen leaves: update = 0 (set_to_zero is stateless);
+            # trainable leaves: the full AdamW chain. Clipping sits inside
+            # the masked chain, so the global norm is over trainable
+            # grads only — frozen grads must not shrink the real update.
+            optax.masked(optax.set_to_zero(), _frozen_mask_fn),
+            optax.masked(tx, trainable_mask_fn),
+        )
     if train_cfg.skip_nonfinite_updates > 0:
         # inside-jit guard: a non-finite grad step becomes a no-op
         # (params AND optimizer moments untouched) instead of poisoning
@@ -303,7 +325,26 @@ class Trainer:
         )
 
     def _setup_optimizer(self):
-        self.tx = make_optimizer(self.config.train_config, len(self.dataloader))
+        mask_fn = None
+        vit_cfg = getattr(self.model.cfg.backbone, "vit", None)
+        if (
+            vit_cfg is not None
+            and getattr(vit_cfg, "lora_rank", 0) > 0
+            and self.config.train_config.lora_freeze_base
+        ):
+            from layoutdit_tpu.models.lora import num_trainable, trainable_mask
+
+            mask_fn = trainable_mask
+            n_train, n_total = num_trainable(self.model.params)
+            logger.info(
+                "LoRA fine-tune: %d / %d params trainable (%.1f%%); "
+                "frozen encoder weights get no optimizer moments",
+                n_train, n_total, 100.0 * n_train / max(1, n_total),
+            )
+        self.tx = make_optimizer(
+            self.config.train_config, len(self.dataloader),
+            trainable_mask_fn=mask_fn,
+        )
         # explicit out_shardings: zeros_like moments are data-unconnected to
         # the inputs, so a bare jit(tx.init) may single-device them —
         # defeating TP/FSDP at-rest layout (parallel/sharding.py)

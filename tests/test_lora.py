@@ -1,0 +1,410 @@
+"""LoRA adapters (models/lora.py) — parameter-efficient encoder fine-tune.
+
+Contract under test:
+  * zero delta at init: adapters (B = 0) leave the forward bit-identical
+    to the rank-0 model with the same seed (base RNG stream untouched);
+  * the delta math matches the paper: y += (alpha/r) * x A B;
+  * merge_lora folds adapters into kernels exactly (forward parity) and
+    strips them; int8 quantization refuses unmerged adapters;
+  * the freezing policy: encoder base weights get zero updates and no
+    optimizer moments; adapters + detection stack train;
+  * Trainer e2e: a LoRA fine-tune moves only adapters/heads, loss
+    decreases, checkpoints round-trip the masked optimizer state;
+  * parallelism: TP param specs cover the factors; stacked GPipe layer
+    params carry them.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layoutdit_tpu.models import lora as lora_mod
+from layoutdit_tpu.models import vit as vit_mod
+from layoutdit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+TINY = ViTConfig(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, patch_size=16, image_size=64,
+)
+TINY_LORA = dataclasses.replace(
+    TINY, lora_rank=4, lora_alpha=8.0,
+    lora_targets=("q", "v", "mlp_in", "mlp_out", "attn_out", "k"),
+)
+
+
+def _pixels(b=2, cfg=TINY, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.standard_normal((b, 3, cfg.image_size, cfg.image_size)),
+        jnp.float32,
+    )
+
+
+def _randomize_lora(params, seed=1):
+    """Give every adapter a nonzero B so the delta is active."""
+    rng = np.random.default_rng(seed)
+
+    def go(path, x):
+        keys = tuple(getattr(k, "key", None) for k in path)
+        if keys[-1] in ("lora_a", "lora_b"):
+            return jnp.asarray(0.1 * rng.standard_normal(x.shape), x.dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(go, params)
+
+
+def test_zero_delta_and_base_stream_unchanged():
+    key = jax.random.PRNGKey(7)
+    base = init_vit_params(key, TINY)
+    adapted = init_vit_params(key, TINY_LORA)
+    # base weights bit-identical: the adapter keys come from fold_in, not
+    # from the init stream
+    np.testing.assert_array_equal(
+        np.asarray(base["layers"][0]["q"]["kernel"]),
+        np.asarray(adapted["layers"][0]["q"]["kernel"]),
+    )
+    for name in TINY_LORA.lora_targets:
+        proj = adapted["layers"][0][name]
+        assert proj["lora_a"].shape == (proj["kernel"].shape[0], 4)
+        assert proj["lora_b"].shape == (4, proj["kernel"].shape[1])
+        np.testing.assert_array_equal(np.asarray(proj["lora_b"]), 0.0)
+    px = _pixels()
+    out_base = vit_forward(base, px, TINY)[-1]
+    out_adapted = vit_forward(adapted, px, TINY_LORA)[-1]
+    np.testing.assert_array_equal(np.asarray(out_base), np.asarray(out_adapted))
+
+
+def test_delta_math_matches_paper():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 5, 8)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.standard_normal((8, 6)), jnp.float32),
+        "bias": jnp.zeros((6,), jnp.float32),
+        "lora_a": jnp.asarray(rng.standard_normal((8, 2)), jnp.float32),
+        "lora_b": jnp.asarray(rng.standard_normal((2, 6)), jnp.float32),
+    }
+    scale = 8.0 / 2
+    got = np.asarray(lora_mod.lora_delta(x, p, scale))
+    want = scale * (np.asarray(x) @ np.asarray(p["lora_a"])) @ np.asarray(
+        p["lora_b"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_active_adapters_change_forward_and_merge_is_exact():
+    params = _randomize_lora(init_vit_params(jax.random.PRNGKey(3), TINY_LORA))
+    px = _pixels()
+    out_adapted = np.asarray(vit_forward(params, px, TINY_LORA)[-1])
+    # active adapters actually alter the forward
+    base_only = lora_mod.merge_lora(params, dataclasses.replace(TINY_LORA, lora_alpha=0.0))
+    out_zeroed = np.asarray(vit_forward(base_only, px, TINY)[-1])
+    assert np.abs(out_adapted - out_zeroed).max() > 1e-4
+
+    merged = lora_mod.merge_lora(params, TINY_LORA)
+    assert not lora_mod.has_lora(merged)
+    out_merged = np.asarray(vit_forward(merged, px, TINY)[-1])
+    np.testing.assert_allclose(out_merged, out_adapted, rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_refuses_unmerged_and_accepts_merged():
+    from layoutdit_tpu.ops import quant
+
+    params = _randomize_lora(init_vit_params(jax.random.PRNGKey(3), TINY_LORA))
+    with pytest.raises(ValueError, match="merge"):
+        quant.quantize_vit_params(params)
+    merged = lora_mod.merge_lora(params, TINY_LORA)
+    q = quant.quantize_vit_params(merged)
+    assert "kernel_q" in q["layers"][0]["q"]
+
+
+def _tiny_detector_cfg(lora_rank=4):
+    from layoutdit_tpu.config.constructs import ModelConfig
+    from layoutdit_tpu.models.detection.detector import DetectorConfig
+
+    mc = ModelConfig(
+        num_classes=3, image_size=64,
+        lora_rank=lora_rank, lora_alpha=8.0, lora_targets=["q", "v"],
+        vit_overrides={
+            "hidden_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "intermediate_size": 64,
+        },
+        fpn_out_channels=32,
+        detection_budget={
+            "rpn_pre_nms_top_n_train": 200, "rpn_pre_nms_top_n_test": 100,
+            "rpn_post_nms_top_n_train": 200, "rpn_post_nms_top_n_test": 100,
+            "box_batch_size_per_image": 64, "box_detections_per_img": 20,
+        },
+    )
+    return DetectorConfig.from_model_config(mc)
+
+
+def test_mask_policy_and_counts():
+    from layoutdit_tpu.models.detection.detector import init_detector_params
+
+    cfg = _tiny_detector_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    mask = lora_mod.trainable_mask(params)
+    # encoder base frozen
+    assert not mask["backbone"]["vit"]["layers"][0]["q"]["kernel"]
+    assert not mask["backbone"]["vit"]["pos_embed"]
+    # adapters train
+    assert mask["backbone"]["vit"]["layers"][0]["q"]["lora_a"]
+    assert mask["backbone"]["vit"]["layers"][0]["v"]["lora_b"]
+    # fresh detection stack trains
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    non_encoder = [
+        v for path, v in flat
+        if getattr(path[0], "key", None) != "backbone"
+        or getattr(path[1], "key", None) != "vit"
+    ]
+    assert non_encoder and all(non_encoder)
+    n_train, n_total = lora_mod.num_trainable(params)
+    assert 0 < n_train < n_total
+
+
+def test_masked_optimizer_freezes_base_trains_adapters():
+    from layoutdit_tpu.config.constructs import TrainingConfig
+    from layoutdit_tpu.models.detection.detector import (
+        detector_loss,
+        init_detector_params,
+    )
+    from layoutdit_tpu.train.trainer import make_optimizer
+
+    cfg = _tiny_detector_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(
+        TrainingConfig(), steps_per_epoch=10,
+        trainable_mask_fn=lora_mod.trainable_mask,
+    )
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
+    gt_boxes = jnp.asarray([[[4, 4, 30, 30], [10, 10, 50, 50]]] * 2, jnp.float32)
+    gt_labels = jnp.asarray([[1, 2]] * 2, jnp.int32)
+    gt_valid = jnp.ones((2, 2), bool)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            return sum(
+                detector_loss(
+                    p, key, images, gt_boxes, gt_labels, gt_valid, cfg
+                ).values()
+            )
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state
+
+    p0 = params
+    p1, opt_state = step(p0, opt_state, jax.random.PRNGKey(1))
+    p2, opt_state = step(p1, opt_state, jax.random.PRNGKey(2))
+
+    # frozen: every encoder base leaf bit-identical after 2 steps
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p0["backbone"]["vit"])[0],
+        jax.tree_util.tree_flatten_with_path(p2["backbone"]["vit"])[0],
+    ):
+        keys = tuple(getattr(k, "key", None) for k in path)
+        if "lora_a" in keys or "lora_b" in keys:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(keys))
+    # adapters move: B by step 1's grad, A once B is nonzero
+    b0 = np.asarray(p0["backbone"]["vit"]["layers"][0]["q"]["lora_b"])
+    b2 = np.asarray(p2["backbone"]["vit"]["layers"][0]["q"]["lora_b"])
+    assert np.abs(b2 - b0).max() > 0
+    a0 = np.asarray(p0["backbone"]["vit"]["layers"][0]["q"]["lora_a"])
+    a2 = np.asarray(p2["backbone"]["vit"]["layers"][0]["q"]["lora_a"])
+    assert np.abs(a2 - a0).max() > 0
+    # heads move too
+    h0 = jax.tree_util.tree_leaves(
+        {k: v for k, v in p0.items() if k != "backbone"}
+    )
+    h2 = jax.tree_util.tree_leaves(
+        {k: v for k, v in p2.items() if k != "backbone"}
+    )
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(h0, h2)
+    )
+    # no moments for frozen leaves: masked AdamW state is smaller than the
+    # param count (MaskedNode for the frozen majority)
+    n_state = sum(
+        x.size for x in jax.tree_util.tree_leaves(opt_state)
+        if hasattr(x, "size")
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    n_train, _ = lora_mod.num_trainable(params)
+    assert n_state < 2 * n_params  # full AdamW would be >= 2x params
+    assert n_state >= 2 * n_train  # but both moments exist for trainables
+
+
+def test_tp_specs_cover_lora_and_sharded_loss_runs():
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from layoutdit_tpu.models.detection.detector import (
+        detector_loss,
+        init_detector_params,
+    )
+    from layoutdit_tpu.parallel.sharding import (
+        detector_param_specs,
+        shard_params,
+    )
+
+    cfg = _tiny_detector_cfg()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    specs = detector_param_specs(params, mesh)
+    lq = specs["backbone"]["vit"]["layers"][0]["q"]
+    assert lq["lora_a"] == P()
+    assert lq["lora_b"] == P(None, "model")
+    with mesh:
+        sharded = shard_params(params, mesh)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.standard_normal((4, 3, 64, 64)), jnp.float32)
+        gt_boxes = jnp.asarray([[[4, 4, 30, 30]]] * 4, jnp.float32)
+        gt_labels = jnp.asarray([[1]] * 4, jnp.int32)
+        gt_valid = jnp.ones((4, 1), bool)
+        loss = jax.jit(
+            lambda p: sum(
+                detector_loss(
+                    p, jax.random.PRNGKey(0), images, gt_boxes, gt_labels,
+                    gt_valid, cfg,
+                ).values()
+            )
+        )(sharded)
+        assert np.isfinite(float(loss))
+
+
+def test_stacked_layers_carry_adapters():
+    from layoutdit_tpu.parallel.pipeline import stack_layer_params
+
+    params = init_vit_params(jax.random.PRNGKey(0), TINY_LORA)
+    stacked = stack_layer_params(params["layers"])
+    assert stacked["q"]["lora_a"].shape == (2, 32, 4)
+    assert stacked["q"]["lora_b"].shape == (2, 4, 32)
+
+
+def test_merge_lora_cli_roundtrip(tmp_path):
+    """tools/merge_lora: fine-tuned LoRA checkpoint -> merged params-only
+    checkpoint that loads under a rank-0 config and predicts identically."""
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools import merge_lora as cli
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+
+    make_fixture(str(tmp_path), n_images=4, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=1, batch_size=2, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+    cfg.detection_model_config.lora_rank = 4
+    cfg.detection_model_config.lora_alpha = 8.0
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg, warm_start=False)
+        model.params = jax.tree_util.tree_map(lambda x: x, model.params)
+        model.params["backbone"]["vit"] = _randomize_lora(
+            model.params["backbone"]["vit"]
+        )
+        ckpt = str(tmp_path / "lora_ckpt.msgpack")
+        from layoutdit_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(ckpt, params=model.params, epoch=1)
+        merged_path = str(tmp_path / "merged.msgpack")
+        cli.main(["--checkpoint", ckpt, "--out", merged_path])
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(0, 1, (1, 3, 224, 224)), jnp.float32
+        )
+        want = model.predict(images)
+
+        cfg0 = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+        assert cfg0.detection_model_config.lora_rank == 0
+        set_layout_dit_config(cfg0)
+        model0 = build_model(cfg0, warm_start=False)
+        model0.restore_checkpoint(merged_path)
+        got = model0.predict(images)
+        for g, w in zip(
+            jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4
+            )
+    finally:
+        set_layout_dit_config(None)
+
+
+def test_trainer_e2e_lora_freeze(tmp_path):
+    from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
+    from layoutdit_tpu.models.model import build_model
+    from layoutdit_tpu.tools.make_fixture import (
+        make_fixture,
+        write_fixture_config,
+    )
+    from layoutdit_tpu.train.trainer import Trainer
+
+    make_fixture(str(tmp_path), n_images=8, split="samples", seed=0)
+    write_fixture_config(str(tmp_path), epochs=2, batch_size=4, tiny_model=True)
+    cfg = LayoutDitConfig(**json.load(open(tmp_path / "cfg.json")))
+    cfg.detection_model_config.lora_rank = 4
+    cfg.detection_model_config.lora_alpha = 8.0
+    cfg.train_config.checkpoint_interval = 2
+    set_layout_dit_config(cfg)
+    try:
+        model = build_model(cfg)
+        assert lora_mod.has_lora(model.params["backbone"]["vit"])
+        enc0 = jax.tree_util.tree_map(
+            np.asarray, model.params["backbone"]["vit"]
+        )
+        trainer = Trainer(cfg, model)
+        trainer.train()
+        assert len(trainer.loss_history) == 2
+        assert all(np.isfinite(l) for l in trainer.loss_history)
+        # encoder base unchanged, adapters moved
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(enc0)[0],
+            jax.tree_util.tree_flatten_with_path(
+                model.params["backbone"]["vit"]
+            )[0],
+        ):
+            keys = tuple(getattr(k, "key", None) for k in path)
+            if "lora_a" in keys or "lora_b" in keys:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=str(keys)
+            )
+        moved = any(
+            not np.array_equal(
+                np.asarray(enc0["layers"][i]["q"]["lora_b"]),
+                np.asarray(
+                    model.params["backbone"]["vit"]["layers"][i]["q"]["lora_b"]
+                ),
+            )
+            for i in range(len(enc0["layers"]))
+        )
+        assert moved, "adapters did not train"
+
+        # checkpoint round-trip restores the masked optimizer state
+        ckpt = f"{tmp_path}/fixture/model_checkpoints/epoch_2.msgpack"
+        model2 = build_model(cfg, warm_start=False)
+        trainer2 = Trainer(cfg, model2)
+        trainer2.resume(ckpt)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.opt_state),
+            jax.tree_util.tree_leaves(trainer2.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        set_layout_dit_config(None)
