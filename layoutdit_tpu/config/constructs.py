@@ -435,6 +435,12 @@ class ModelConfig(BaseModel):
     # memory — the standard lever for high-res training (4k+ tokens)
     # on a fixed-HBM chip.
     remat: bool = False
+    # What the backward recomputes when remat is on: "full" saves only
+    # block boundaries (max memory win, ~22% slower at 1024 px), "dots"
+    # saves the projection GEMM outputs and recomputes only the cheap
+    # VPU work + attention einsums (most of the memory win at near-zero
+    # MXU cost). Measured on-chip in PERF_STAGES.md.
+    remat_policy: str = "full"
 
     # Optional ViT architecture overrides (hidden_size, num_hidden_layers,
     # ...) applied on top of the backbone preset — used for scaled-down

@@ -69,6 +69,7 @@ def backbone_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attention_impl: str = "xla",
     remat: bool = False,
+    remat_policy: str = "full",
     seq_sharding=None,
     pipeline=None,
     aux_out: dict | None = None,
@@ -85,7 +86,8 @@ def backbone_forward(
     hidden = vit_forward(
         params["vit"], pixels, cfg.vit, taps=cfg.taps,
         compute_dtype=compute_dtype, attention_impl=attention_impl,
-        remat=remat, seq_sharding=seq_sharding, pipeline=pipeline,
+        remat=remat, remat_policy=remat_policy,
+        seq_sharding=seq_sharding, pipeline=pipeline,
         aux_out=aux_out,
     )
 

@@ -66,6 +66,7 @@ class DetectorConfig:
     compute_dtype: str = "float32"
     attention_impl: str = "auto"
     remat: bool = False
+    remat_policy: str = "full"  # "full" | "dots" — see vit_forward
     # "dit" (ViT pyramid, reference model.py:57-70) or "resnet50"
     # (reference :72-84). The resnet path pools RoIs from 4 levels
     # (featmap_names "0".."3", no pool level) as torchvision does.
@@ -209,6 +210,7 @@ class DetectorConfig:
             backbone_kind=backbone_kind,
             cascade_iou_threshs=tuple(mc.cascade_iou_threshs),
             remat=mc.remat,
+            remat_policy=mc.remat_policy,
             with_mask=mc.with_mask,
             detector_kind=mc.detector,
             retinanet_levels=tuple(mc.retinanet_levels),
@@ -416,7 +418,8 @@ def _run_backbone(params, images, cfg: DetectorConfig, seq_sharding=None,
     return backbone_forward(
         params["backbone"], x, cfg.backbone,
         compute_dtype=cfg.dtype, attention_impl=cfg.attention_impl,
-        remat=cfg.remat, seq_sharding=seq_sharding, pipeline=pipeline,
+        remat=cfg.remat, remat_policy=cfg.remat_policy,
+        seq_sharding=seq_sharding, pipeline=pipeline,
         aux_out=aux_out,
     )
 

@@ -491,6 +491,7 @@ def vit_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attention_impl: str = "xla",
     remat: bool = False,
+    remat_policy: str = "full",
     seq_sharding=None,
     pipeline=None,
     aux_out: dict | None = None,
@@ -625,7 +626,26 @@ def vit_forward(
         return [collected[t] for t in taps]
 
     if remat:
-        run_layer = jax.checkpoint(run_layer)
+        # remat_policy picks WHAT the backward recomputes per layer:
+        #   "full" — save only block boundaries; recompute everything,
+        #     including the GEMMs (the classic 4/3x-FLOPs remat; maximum
+        #     memory saving — the high-res OOM lever);
+        #   "dots" — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+        #     projection GEMM outputs (qkv / attn_out / mlp) are SAVED,
+        #     only the VPU work (LN, softmax, gelu) and the batched
+        #     attention einsums recompute. Near-zero extra MXU FLOPs for
+        #     most of the memory win — measured on-chip in PERF_STAGES.md.
+        if remat_policy == "dots":
+            run_layer = jax.checkpoint(
+                run_layer,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif remat_policy == "full":
+            run_layer = jax.checkpoint(run_layer)
+        else:
+            raise ValueError(
+                f"unknown remat_policy {remat_policy!r}; use 'full' or 'dots'"
+            )
 
     total_aux = jnp.zeros((), jnp.float32)
     for li, layer in enumerate(params["layers"], start=1):

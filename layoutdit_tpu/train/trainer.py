@@ -345,6 +345,11 @@ class Trainer:
             self.config.train_config, len(self.dataloader),
             trainable_mask_fn=mask_fn,
         )
+        # Static bool pytree (True = trainable), consumed by the train
+        # step to stop_gradient the frozen leaves — see _build_train_step.
+        self._trainable_mask = (
+            mask_fn(self.model.params) if mask_fn is not None else None
+        )
         # explicit out_shardings: zeros_like moments are data-unconnected to
         # the inputs, so a bare jit(tx.init) may single-device them —
         # defeating TP/FSDP at-rest layout (parallel/sharding.py)
@@ -371,8 +376,21 @@ class Trainer:
         # gt_masks array, and stays byte-identical otherwise.
         n_extra = 1 if cfg.with_mask else 0
 
+        freeze_mask = self._trainable_mask
+
         def total_loss(p, rng, images, gt_boxes, gt_labels, gt_valid,
                        gt_masks=None):
+            if freeze_mask is not None:
+                # Frozen leaves enter the forward through stop_gradient:
+                # their cotangents become symbolic zeros, so XLA DCEs
+                # every dW GEMM of the frozen encoder from the backward —
+                # the optimizer masking alone would compute those grads
+                # and then zero the updates. dx backprop still flows (the
+                # adapters need it); only the weight-gradient work drops.
+                p = jax.tree_util.tree_map(
+                    lambda m, x: x if m else jax.lax.stop_gradient(x),
+                    freeze_mask, p,
+                )
             losses = detector_loss(
                 p, rng, images, gt_boxes, gt_labels, gt_valid, cfg,
                 seq_sharding=seq, pipeline=pipe, gt_masks=gt_masks,

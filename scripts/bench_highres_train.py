@@ -41,6 +41,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-policy", default="full", choices=["full", "dots"])
     ap.add_argument("--steps", type=int, default=6)
     # unroll=1: at 1024 px the step is ~100x the scan-carry copy cost
     # that motivated full unroll at 224 px (bench.py), and unrolling a
@@ -50,7 +51,8 @@ def main() -> None:
     assert args.batch % args.accum == 0
 
     cfg = DetectorConfig(
-        compute_dtype="bfloat16", image_size=args.size, remat=args.remat
+        compute_dtype="bfloat16", image_size=args.size, remat=args.remat,
+        remat_policy=args.remat_policy,
     )
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainingConfig(), steps_per_epoch=1000)
@@ -132,8 +134,11 @@ def main() -> None:
         dts.append(time.time() - t0)
     dt = min(dts)
     assert np.isfinite(finals).all(), finals
+    remat_desc = f"{args.remat}" + (
+        f"/{args.remat_policy}" if args.remat else ""
+    )
     print(
-        f"train {s}px bs{b} accum={accum} remat={args.remat}: "
+        f"train {s}px bs{b} accum={accum} remat={remat_desc}: "
         f"{b * args.steps / dt:.2f} img/s ({dt * 1e3 / args.steps:.0f} ms/step)"
     )
 

@@ -138,10 +138,57 @@ def test_remat_grads_exact(fixture_cfg):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_remat_dots_policy_grads_exact(fixture_cfg):
+    """remat_policy='dots' (save GEMM outputs, recompute VPU work) is as
+    numerics-exact as the full policy — only WHAT is recomputed changes."""
+    import dataclasses
+
+    from layoutdit_tpu.models.detection.detector import detector_loss
+    from layoutdit_tpu.models.model import build_model
+
+    model = build_model(fixture_cfg, seed=0)
+    cfg0 = model.cfg
+    cfg1 = dataclasses.replace(cfg0, remat=True, remat_policy="dots")
+    rng = jax.random.PRNGKey(0)
+    images, boxes, labels, valid = _batch(fixture_cfg, jax.random.PRNGKey(1))
+
+    def loss(p, c):
+        return sum(detector_loss(p, rng, images, boxes, labels, valid, c).values())
+
+    l0, g0 = jax.jit(lambda p: jax.value_and_grad(loss)(p, cfg0))(model.params)
+    l1, g1 = jax.jit(lambda p: jax.value_and_grad(loss)(p, cfg1))(model.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_remat_bad_policy_rejected(fixture_cfg):
+    import dataclasses
+
+    import pytest
+
+    from layoutdit_tpu.models.detection.detector import detector_loss
+    from layoutdit_tpu.models.model import build_model
+
+    model = build_model(fixture_cfg, seed=0)
+    cfg = dataclasses.replace(model.cfg, remat=True, remat_policy="nope")
+    images, boxes, labels, valid = _batch(fixture_cfg, jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.eval_shape(
+            lambda p: detector_loss(
+                p, jax.random.PRNGKey(0), images, boxes, labels, valid, cfg
+            ),
+            model.params,
+        )
+
+
 def test_remat_reachable_from_user_config(fixture_cfg):
     from layoutdit_tpu.models.model import build_model
 
     cfg = fixture_cfg.model_copy(deep=True)
     cfg.detection_model_config.remat = True
+    cfg.detection_model_config.remat_policy = "dots"
     model = build_model(cfg, seed=0)
     assert model.cfg.remat is True
+    assert model.cfg.remat_policy == "dots"
