@@ -424,6 +424,19 @@ class ModelConfig(BaseModel):
     # the paper's default adapts attention q/v only.
     lora_targets: list[str] = ["q", "v"]
 
+    # ---- Windowed attention (models/vit.py, ViTDet-style,
+    # beyond-reference): restrict non-global encoder layers to
+    # window_size x window_size patch windows. The high-res lever on
+    # top of flash attention: at a 64x64 grid (1024 px) a 16-patch
+    # window cuts score FLOPs ~16x per windowed layer, and 256-token
+    # windows tile the MXU exactly. 0 = off (reference parity; also a
+    # no-op whenever the window covers the whole grid, so a
+    # window_size=16 config still runs 224 px eval bit-identically).
+    window_size: int = 0
+    # 1-based encoder layers that keep FULL attention for cross-window
+    # mixing; empty = the backbone tap layers [d/3, d/2, 2d/3, d].
+    window_global_layers: list[int] = []
+
     # Mask R-CNN branch (beyond-reference): train a 28x28 per-class mask
     # head on PubLayNet's segmentation polygons and return per-detection
     # masks at inference. Requires the data pipeline's mask path

@@ -175,9 +175,19 @@ class DetectorConfig:
                     f"detection_model_config.image_size={mc.image_size}"
                 )
             overrides = {"image_size": mc.image_size, **mc.vit_overrides}
+            for k in ("global_attn_layers", "lora_targets"):
+                # JSON configs carry lists; ViTConfig stays hashable
+                if k in overrides:
+                    overrides[k] = tuple(overrides[k])
             vit_cfg = dataclasses.replace(vit_cfg, **overrides)
         elif mc.image_size != vit_cfg.image_size:
             vit_cfg = dataclasses.replace(vit_cfg, image_size=mc.image_size)
+        if mc.window_size > 0:
+            vit_cfg = dataclasses.replace(
+                vit_cfg,
+                window_size=mc.window_size,
+                global_attn_layers=tuple(mc.window_global_layers),
+            )
         if mc.lora_rank > 0:
             if mc.backbone_type == BackboneType.RESNET50:
                 raise ValueError(

@@ -80,12 +80,19 @@ class LayoutDetectionModel:
             # must still warm-start. LoRA fields are masked too: adapters
             # sit BESIDE the pretrained weights (models/lora.py), so a
             # LoRA fine-tune warm-starts the same checkpoint.
+            # window_size/global_attn_layers are masked for the same
+            # reason as image_size: windowed attention reuses the full
+            # pretrained weights unchanged (within-window rel-pos offsets
+            # gather from the SAME tables), so a windowed high-res
+            # fine-tune still warm-starts.
             arch_match = preset and dataclasses.replace(
                 self.cfg.backbone.vit,
                 image_size=ref.image_size,
                 lora_rank=ref.lora_rank,
                 lora_alpha=ref.lora_alpha,
                 lora_targets=ref.lora_targets,
+                window_size=ref.window_size,
+                global_attn_layers=ref.global_attn_layers,
             ) == ref
             if arch_match:
                 ckpt = local_checkpoint(preset)

@@ -66,6 +66,30 @@ class ViTConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple[str, ...] = ("q", "v")
+    # ViTDet-style windowed attention for high-res pages (beyond the
+    # reference — its grid is pinned at 14x14, dit_backbone.py:44-47,
+    # where windowing is pointless). window_size W > 0 restricts
+    # attention in non-global layers to W x W patch windows: at a 64x64
+    # grid (1024 px) that cuts score FLOPs ~(grid/W)^2 per windowed
+    # layer, and W=16 windows are 256 tokens — exactly two 128-lane MXU
+    # tiles, no padding waste. global_attn_layers (1-based) keep full
+    # attention for cross-window mixing; empty = the backbone's tap
+    # layers [d/3, d/2, 2d/3, d], so every tapped feature map is
+    # produced by a layer that just mixed globally. 0 = off (reference
+    # parity — full attention everywhere).
+    window_size: int = 0
+    global_attn_layers: tuple[int, ...] = ()
+
+    def is_global_layer(self, layer_idx_1based: int) -> bool:
+        if self.window_size <= 0:
+            return True
+        globals_ = self.global_attn_layers or (
+            self.num_hidden_layers // 3,
+            self.num_hidden_layers // 2,
+            2 * self.num_hidden_layers // 3,
+            self.num_hidden_layers,
+        )
+        return layer_idx_1based in globals_
 
     def is_moe_layer(self, layer_idx_1based: int) -> bool:
         return (
@@ -125,6 +149,132 @@ def relative_position_index(grid: int) -> np.ndarray:
     index[0:, 0] = num_rel - 2
     index[0, 0] = num_rel - 1
     return index.astype(np.int32)
+
+
+def window_relative_position_index(ws: int, grid: int) -> np.ndarray:
+    """Indices into a full-grid BEiT bias table for one (ws, ws) window.
+
+    Relative offsets inside a window are a subset of the full grid's
+    (|dy|, |dx| <= ws-1 <= grid-1), so windowed layers reuse the SAME
+    (2*grid-1)^2(+3) table the global layers gather from — pretrained
+    rel-pos checkpoints need no extra parameters to run windowed. No CLS
+    rows: windowed attention handles CLS out-of-band (it is not part of
+    any window). Returns [ws^2, ws^2] int32.
+    """
+    if ws > grid:
+        raise ValueError(f"window {ws} larger than grid {grid}")
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).astype(np.int64)
+    # same row-major encoding as relative_position_index, with the FULL
+    # grid's stride (2*grid-1) so offsets land on the same table entries
+    return (
+        (rel[0] + grid - 1) * (2 * grid - 1) + (rel[1] + grid - 1)
+    ).astype(np.int32)
+
+
+def _window_partition(
+    tokens: jnp.ndarray, gh: int, gw: int, ws: int
+) -> tuple[jnp.ndarray, tuple[int, int, int, int]]:
+    """[B, gh*gw, D] -> [B*nh*nw, ws*ws, D] (grid zero-padded up to a
+    multiple of ws; the softmax masks padded keys, merge drops padded
+    queries)."""
+    b, _, d = tokens.shape
+    ph, pw = (-gh) % ws, (-gw) % ws
+    hp, wp = gh + ph, gw + pw
+    nh, nw = hp // ws, wp // ws
+    x = tokens.reshape(b, gh, gw, d)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    x = x.reshape(b, nh, ws, nw, ws, d)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nh * nw, ws * ws, d), (hp, wp, nh, nw)
+
+
+def _window_merge(
+    xw: jnp.ndarray, b: int, gh: int, gw: int, ws: int,
+    dims: tuple[int, int, int, int],
+) -> jnp.ndarray:
+    """Inverse of _window_partition; crops the padding back off."""
+    hp, wp, nh, nw = dims
+    d = xw.shape[-1]
+    x = xw.reshape(b, nh, nw, ws, ws, d).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hp, wp, d)[:, :gh, :gw]
+    return x.reshape(b, gh * gw, d)
+
+
+def _window_key_mask(gh: int, gw: int, ws: int) -> np.ndarray | None:
+    """[nh*nw, ws*ws] bool: True where the window slot holds a real
+    (non-padding) token. None when ws divides the grid (nothing to mask).
+    Pure numpy — the pattern is static per (grid, ws), computed at trace
+    time."""
+    ph, pw = (-gh) % ws, (-gw) % ws
+    if not (ph or pw):
+        return None
+    valid = np.zeros((gh + ph, gw + pw), dtype=bool)
+    valid[:gh, :gw] = True
+    nh, nw = (gh + ph) // ws, (gw + pw) // ws
+    return (
+        valid.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3).reshape(nh * nw, ws * ws)
+    )
+
+
+def _windowed_attention(
+    x: jnp.ndarray,
+    layer: dict,
+    cfg: ViTConfig,
+    gh: int,
+    gw: int,
+    rel_grid: int | None,
+    shared_table: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Attention restricted to ws x ws patch windows (ViTDet-style).
+
+    x is the post-LN [B, 1+gh*gw, D] stream. The CLS token is not a
+    member of any window: it attends to itself alone (a 1-token
+    sequence), and patch tokens do not see it in windowed layers — the
+    fine-tune adapts, exactly the ViTDet finding that a few global
+    layers suffice to restore full-attention quality. Padded window
+    slots are masked out of the softmax; the QKV/attn_out projections
+    commute with the partition (pointwise over tokens), so per-window
+    outputs merged back are exactly full attention restricted to each
+    window's token set.
+    """
+    b = x.shape[0]
+    ws = cfg.window_size
+    cls_tok, toks = x[:, :1], x[:, 1:]
+    xw, dims = _window_partition(toks, gh, gw, ws)
+
+    bias = None
+    if rel_grid is not None:
+        # windowed layers gather the SAME (resampled) tables the global
+        # layers use, at within-window offsets (no CLS entries)
+        idx = jnp.asarray(window_relative_position_index(ws, rel_grid))
+        table = None
+        if shared_table is not None:
+            table = shared_table
+        if "rel_pos_table" in layer:
+            own = _rel_table_for_grid(
+                layer["rel_pos_table"], cfg.grid_size, rel_grid
+            )
+            table = own if table is None else own + table
+        if table is not None:
+            bias = table[idx].transpose(2, 0, 1)[None]  # [1, h, ws^2, ws^2]
+
+    key_mask = _window_key_mask(gh, gw, ws)
+    if key_mask is not None:
+        nwins = key_mask.shape[0]
+        key_mask = jnp.tile(jnp.asarray(key_mask), (b, 1))
+        assert key_mask.shape[0] == xw.shape[0], (nwins, xw.shape)
+
+    # Windows are short sequences (ws^2 tokens, e.g. 256) — the measured
+    # crossover (ATTENTION_BENCH.md) says XLA batched attention wins
+    # there, so windowed layers always take the xla path regardless of
+    # the configured impl (flash/ring only pay off at long N).
+    ctx = _attention(xw, layer, cfg, bias, impl="xla", key_mask=key_mask)
+    merged = _window_merge(ctx, b, gh, gw, ws, dims)
+    cls_out = _attention(cls_tok, layer, cfg, None, impl="xla")
+    return jnp.concatenate([cls_out, merged], axis=1)
 
 
 def init_vit_params(key: jax.Array, cfg: ViTConfig) -> dict:
@@ -242,6 +392,7 @@ def _attention(
     rel_bias: jnp.ndarray | None,
     impl: str = "xla",
     seq_sharding=None,
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     b, n, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.head_dim
@@ -324,6 +475,8 @@ def _attention(
             # mode.
             impl = "xla"
 
+    if key_mask is not None and impl != "xla":
+        raise ValueError("key_mask is only supported on the xla path")
     if impl == "ring":
         # sequence-sharded exact attention: K/V rotate over the mesh's
         # token axis, everything stays N/P-resident (ops/ring_attention)
@@ -362,6 +515,15 @@ def _attention(
         ) / np.sqrt(hd)
         if rel_bias is not None:
             scores = scores + rel_bias
+        if key_mask is not None:
+            # padded window slots (windowed attention over a grid the
+            # window size does not divide): excluded from every softmax
+            # row. -inf is safe — each window keeps >= 1 real key (the
+            # padding band is < ws wide), and XLA fuses the where into
+            # the softmax, so no [.., n, m] mask tensor is materialized.
+            scores = jnp.where(
+                key_mask[:, None, None, :], scores, -jnp.inf
+            )
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum(
             "bhnm,bmhd->bnhd", probs, v, preferred_element_type=jnp.float32
@@ -438,17 +600,23 @@ def encoder_block_aux(
     bias,
     attention_impl: str,
     seq_sharding=None,
+    window: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pre-LN transformer block (attention + MLP, optional BEiT
     layerscale). The MLP is the dense GELU pair or, when the layer params
     carry a router (ops/moe.py), a token-routed mixture of experts.
 
+    window: (gh, gw, rel_grid, shared_table) — restrict this layer's
+    attention to cfg.window_size patch windows (None = full attention).
+
     Returns (block output, fp32 aux scalar — the MoE load-balance loss,
     0 for dense layers)."""
-    attn = _attention(
-        _layer_norm(x, layer["ln1"], cfg.layer_norm_eps),
-        layer, cfg, bias, attention_impl, seq_sharding,
-    )
+    x_ln = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
+    if window is not None:
+        gh, gw, rel_grid, shared_table = window
+        attn = _windowed_attention(x_ln, layer, cfg, gh, gw, rel_grid, shared_table)
+    else:
+        attn = _attention(x_ln, layer, cfg, bias, attention_impl, seq_sharding)
     if "lambda_1" in layer:
         attn = attn * layer["lambda_1"].astype(attn.dtype)
     x = x + attn
@@ -529,6 +697,23 @@ def vit_forward(
     """
     if pipeline is not None and seq_sharding is not None:
         raise ValueError("pipeline and seq_sharding are mutually exclusive")
+    _, _, _img_h, _img_w = pixels.shape
+    win_active = cfg.window_size > 0 and cfg.window_size < max(
+        _img_h // cfg.patch_size, _img_w // cfg.patch_size
+    )
+    if win_active and pipeline is not None:
+        raise ValueError(
+            "windowed attention layers are heterogeneous (windowed vs "
+            "global) — incompatible with the GPipe stage body's stacked "
+            "homogeneous layers; use window_size=0 with pipeline"
+        )
+    if win_active and seq_sharding is not None:
+        raise ValueError(
+            "windowed attention repartitions the token axis per layer — "
+            "incompatible with sequence parallelism (token-sharded "
+            "stream); shard the batch/window axis instead (DP) or use "
+            "window_size=0 with SP/ring"
+        )
     if pipeline is not None and cfg.num_experts > 0:
         raise ValueError(
             "pipeline parallelism does not support MoE layers (the GPipe "
@@ -574,14 +759,18 @@ def vit_forward(
             )
         rel_grid = gh
     shared_bias = None
+    shared_table = None
     if "shared_rel_pos_table" in params:
-        idx = jnp.asarray(relative_position_index(rel_grid))
-        shared_bias = _gather_rel_bias(
-            _rel_table_for_grid(
-                params["shared_rel_pos_table"], cfg.grid_size, rel_grid
-            ),
-            idx,
+        table = _rel_table_for_grid(
+            params["shared_rel_pos_table"], cfg.grid_size, rel_grid
         )
+        idx = jnp.asarray(relative_position_index(rel_grid))
+        shared_bias = _gather_rel_bias(table, idx)
+        if win_active:
+            # windowed layers gather within-window offsets straight from
+            # the resampled table (the full-grid [1,h,N,N] bias above is
+            # only ever built for the global layers)
+            shared_table = table
 
     def seq_constrain(t):
         if seq_sharding is None:
@@ -596,11 +785,17 @@ def vit_forward(
     if 0 in taps:
         collected[0] = x
 
-    def run_layer(x, layer):
-        bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
-        y, aux = encoder_block_aux(
-            x, layer, cfg, bias, attention_impl, seq_sharding
-        )
+    def run_layer(x, layer, windowed=False):
+        if windowed:
+            y, aux = encoder_block_aux(
+                x, layer, cfg, None, attention_impl, seq_sharding,
+                window=(gh, gw, rel_grid, shared_table),
+            )
+        else:
+            bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
+            y, aux = encoder_block_aux(
+                x, layer, cfg, bias, attention_impl, seq_sharding
+            )
         return seq_constrain(y), aux
 
     if pipeline is not None:
@@ -639,9 +834,10 @@ def vit_forward(
             run_layer = jax.checkpoint(
                 run_layer,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                static_argnums=(2,),
             )
         elif remat_policy == "full":
-            run_layer = jax.checkpoint(run_layer)
+            run_layer = jax.checkpoint(run_layer, static_argnums=(2,))
         else:
             raise ValueError(
                 f"unknown remat_policy {remat_policy!r}; use 'full' or 'dots'"
@@ -649,7 +845,7 @@ def vit_forward(
 
     total_aux = jnp.zeros((), jnp.float32)
     for li, layer in enumerate(params["layers"], start=1):
-        x, aux = run_layer(x, layer)
+        x, aux = run_layer(x, layer, win_active and not cfg.is_global_layer(li))
         total_aux = total_aux + aux
         if li in taps:
             collected[li] = x

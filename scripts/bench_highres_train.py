@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default="full", choices=["full", "dots"])
+    # ViTDet-style windowed attention (models/vit.py): non-global layers
+    # attend in WxW patch windows; 0 = full attention everywhere.
+    ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--steps", type=int, default=6)
     # unroll=1: at 1024 px the step is ~100x the scan-carry copy cost
     # that motivated full unroll at 224 px (bench.py), and unrolling a
@@ -54,6 +57,16 @@ def main() -> None:
         compute_dtype="bfloat16", image_size=args.size, remat=args.remat,
         remat_policy=args.remat_policy,
     )
+    if args.window:
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(
+                cfg.backbone,
+                vit=dataclasses.replace(
+                    cfg.backbone.vit, window_size=args.window
+                ),
+            ),
+        )
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainingConfig(), steps_per_epoch=1000)
     opt_state = tx.init(params)
@@ -137,8 +150,9 @@ def main() -> None:
     remat_desc = f"{args.remat}" + (
         f"/{args.remat_policy}" if args.remat else ""
     )
+    win_desc = f" window={args.window}" if args.window else ""
     print(
-        f"train {s}px bs{b} accum={accum} remat={remat_desc}: "
+        f"train {s}px bs{b} accum={accum} remat={remat_desc}{win_desc}: "
         f"{b * args.steps / dt:.2f} img/s ({dt * 1e3 / args.steps:.0f} ms/step)"
     )
 
