@@ -13,6 +13,7 @@ Run: python scripts/bench_highres_e2e.py [--batch 4] [--steps 5]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -59,6 +60,9 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="*", default=[896, 1024])
     ap.add_argument("--preset", choices=["base", "large"], default="base",
                     help="dit-base (default) or dit-large backbone")
+    ap.add_argument("--window", type=int, default=0,
+                    help="also time ViTDet-style windowed attention at "
+                         "this window size (models/vit.py)")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     results = {}
@@ -78,10 +82,18 @@ def main():
         images = jnp.asarray(
             rng.uniform(0, 1, (args.batch, 3, size, size)), jnp.float32
         )
-        for attn in ("auto", "xla"):
+        variants = [("auto", 0), ("xla", 0)]
+        if args.window:
+            variants.append(("auto", args.window))
+        for attn, win in variants:
+            bb_v = bb
+            if win:
+                bb_v = dataclasses.replace(
+                    bb, vit=dataclasses.replace(bb.vit, window_size=win)
+                )
             cfg = DetectorConfig(
                 compute_dtype="bfloat16", attention_impl=attn,
-                image_size=size, backbone=bb,
+                image_size=size, backbone=bb_v,
             )
             try:
                 ms = timed_predict(cfg, params, images, args.steps)
@@ -89,12 +101,14 @@ def main():
                 print(f"{size}px attn={attn}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}")
                 continue
-            key = f"{size}px_{attn}"
+            key = f"{size}px_{attn}" + (f"_w{win}" if win else "")
             results[key] = {
                 "ms_per_batch": round(ms, 2),
                 "img_per_s": round(args.batch / ms * 1e3, 1),
             }
-            print(f"{size}px attn={attn}: {ms:.1f} ms/batch"
+            print(f"{size}px attn={attn}"
+                  + (f" window={win}" if win else "")
+                  + f": {ms:.1f} ms/batch"
                   f" = {args.batch / ms * 1e3:.1f} img/s")
 
     # ---- parity spot-check: same page at 224 native vs upscaled 896 ----
