@@ -1,12 +1,17 @@
 # Developer workflow (reference Makefile parity: test/lint, Makefile:1-12)
 
-.PHONY: test test-fast lint bench fixture train-fixture dryrun serve predict shards sanitize
+.PHONY: test test-all test-fast lint bench fixture train-fixture dryrun serve predict shards sanitize
 
+# Fast default (~20 min on a 1-core host): everything except tests marked
+# `slow` (multi-epoch convergence, 4-process gloo batteries, sanitizer
+# builds). Rounds/releases are judged on `make test-all`.
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
-test-fast:
-	python -m pytest tests/ -q -m "not slow"
+test-fast: test
 
 lint:
 	ruff check layoutdit_tpu tests || true

@@ -409,6 +409,11 @@ class ModelConfig(BaseModel):
     detr_eos_coef: float = 0.1
     # Per-decoder-layer auxiliary losses (DETR trains with these on).
     detr_aux_loss: bool = True
+    # Matcher-latency mitigation: solve the Hungarian assignment on the
+    # final decoder layer only and share it with every aux loss (1/L the
+    # serial-depth-bound solve work). Off = paper-exact per-layer
+    # matching; quality cost measured in docs/convergence.md.
+    detr_shared_matching: bool = False
     # Pyramid level the decoder cross-attends to (2 = stride 16).
     detr_level: int = 2
 

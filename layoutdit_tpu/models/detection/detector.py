@@ -109,6 +109,10 @@ class DetectorConfig:
     detr_eos_coef: float = 0.1
     detr_aux_loss: bool = True
     detr_level: int = 2
+    # Solve the Hungarian match on the final decoder layer only and share
+    # the assignment with every aux loss (matcher-latency mitigation;
+    # quality cost measured in docs/convergence.md).
+    detr_shared_matching: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "budget", _freeze_budget(self.budget))
@@ -233,6 +237,7 @@ class DetectorConfig:
             detr_eos_coef=mc.detr_eos_coef,
             detr_aux_loss=mc.detr_aux_loss,
             detr_level=mc.detr_level,
+            detr_shared_matching=mc.detr_shared_matching,
         )
 
     def __post_init_validate__(self):  # called from __post_init__
@@ -583,6 +588,7 @@ def detector_loss(
         losses = detr_mod.detr_loss(
             logits, boxes01, gt_boxes, gt_labels, gt_valid,
             cfg.image_size, cfg.detr_eos_coef, cfg.detr_aux_loss,
+            shared_matching=cfg.detr_shared_matching,
         )
         return _with_moe_aux(losses, aux_out, cfg)
     anchors, counts = _anchors(cfg)

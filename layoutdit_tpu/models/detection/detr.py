@@ -324,10 +324,18 @@ def detr_loss(
     image_size: int,
     eos_coef: float,
     aux_loss: bool,
+    shared_matching: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """DETR SetCriterion over the final layer (+ each aux layer when
     aux_loss, keys suffixed _aux{i}); weights folded into the values so
-    the trainer's sum-of-dict contract applies unchanged."""
+    the trainer's sum-of-dict contract applies unchanged.
+
+    shared_matching: solve the Hungarian assignment on the FINAL decoder
+    layer only and reuse it for every aux layer — a matcher-latency
+    mitigation (1/L the solve work; the JV solver is serial-depth-bound,
+    PERF_STAGES.md "DETR matcher batching"). Departs from the DETR paper,
+    which re-matches per layer; quality cost measured on the fixture
+    (docs/convergence.md)."""
     gt01 = _xyxy_to_cxcywh(gt_boxes) / image_size
     # padded slots -> degenerate zeros; keep them harmless in the coder
     gt01 = jnp.where(gt_valid[..., None], gt01, 0.0)
@@ -339,11 +347,11 @@ def detr_loss(
     # instead of once per decoder layer (measured 3.3x on the isolated
     # matcher at L=6/B=8/Q=100/G=32 on-chip — PERF_STAGES.md "DETR
     # matcher batching").
-    lv = logits if aux_loss else logits[-1:]
-    bv = boxes01 if aux_loss else boxes01[-1:]
+    lv = logits if (aux_loss and not shared_matching) else logits[-1:]
+    bv = boxes01 if (aux_loss and not shared_matching) else boxes01[-1:]
     match_all = jax.vmap(
         jax.vmap(_match_single), in_axes=(0, 0, None, None, None)
-    )(lv, bv, gt01, gt_labels, gt_valid)  # [L, B, G]
+    )(lv, bv, gt01, gt_labels, gt_valid)  # [L or 1, B, G]
 
     losses = detr_loss_one_level(
         logits[-1], boxes01[-1], gt01, gt_labels, gt_valid, num_boxes,
@@ -353,7 +361,8 @@ def detr_loss(
         for i in range(logits.shape[0] - 1):
             aux = detr_loss_one_level(
                 logits[i], boxes01[i], gt01, gt_labels, gt_valid, num_boxes,
-                eos_coef, match=match_all[i],
+                eos_coef,
+                match=match_all[-1] if shared_matching else match_all[i],
             )
             losses.update({f"{k}_aux{i}": v for k, v in aux.items()})
     return losses

@@ -79,6 +79,22 @@ class ViTConfig:
     # parity — full attention everywhere).
     window_size: int = 0
     global_attn_layers: tuple[int, ...] = ()
+    # Encoder-forward lane-padding probe (PERF_STAGES.md round 5): pad
+    # the token axis ONCE at the embedding (197 -> e.g. 256, the next
+    # 128-lane multiple) instead of letting every per-layer matmul pay
+    # the 197->256 relayout. Padded tokens are excluded from every
+    # softmax row via key mask (exact for real tokens: masked keys
+    # contribute exp(-inf) = 0) and sliced back off at the taps. 0 = off.
+    # Only takes effect on the base-res XLA attention path (windowed /
+    # flash / pipeline / SP paths have their own token layouts).
+    pad_tokens_to: int = 0
+    # Encoder-forward probe #2 (PERF_STAGES.md round 5): store attention
+    # scores/probabilities in bfloat16 (half the score-tensor bytes and
+    # VPU element throughput) while keeping the softmax DENOMINATOR in
+    # fp32 (row max needs only ordering, bf16-safe). ~1e-2 relative prob
+    # error — measured effect recorded before any default change.
+    # "float32" = exact reference semantics (default).
+    score_dtype: str = "float32"
 
     def is_global_layer(self, layer_idx_1based: int) -> bool:
         if self.window_size <= 0:
@@ -509,6 +525,29 @@ def _attention(
         from layoutdit_tpu.ops.flash_attention import flash_attention
 
         ctx = flash_attention(q, k, v, bias=rel_bias, scale=1.0 / np.sqrt(hd))
+    elif cfg.score_dtype == "bfloat16":
+        # probe path: bf16 score/prob storage, fp32 row statistics —
+        # halves the [B, h, N, N] tensor bytes and the VPU exp/divide
+        # element traffic; the denominator stays fp32 so small probs
+        # don't vanish in the normalization. Opt-in; measured vs exact
+        # in PERF_STAGES.md.
+        # python-float divisor: weak-typed, keeps the bf16 storage dtype
+        scores = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.bfloat16
+        ) / float(np.sqrt(hd))
+        if rel_bias is not None:
+            scores = scores + rel_bias.astype(jnp.bfloat16)
+        if key_mask is not None:
+            scores = jnp.where(
+                key_mask[:, None, None, :], scores, -jnp.inf
+            )
+        m = jax.lax.stop_gradient(scores.max(axis=-1, keepdims=True))
+        e = jnp.exp(scores - m)  # bf16
+        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        probs = (e.astype(jnp.float32) / denom).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bhnm,bmhd->bnhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     else:
         scores = jnp.einsum(
             "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
@@ -601,6 +640,7 @@ def encoder_block_aux(
     attention_impl: str,
     seq_sharding=None,
     window: tuple | None = None,
+    key_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pre-LN transformer block (attention + MLP, optional BEiT
     layerscale). The MLP is the dense GELU pair or, when the layer params
@@ -609,6 +649,9 @@ def encoder_block_aux(
     window: (gh, gw, rel_grid, shared_table) — restrict this layer's
     attention to cfg.window_size patch windows (None = full attention).
 
+    key_mask: [B, N] bool — keys excluded from every softmax row (the
+    embedding-time token-padding probe, ViTConfig.pad_tokens_to).
+
     Returns (block output, fp32 aux scalar — the MoE load-balance loss,
     0 for dense layers)."""
     x_ln = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
@@ -616,7 +659,8 @@ def encoder_block_aux(
         gh, gw, rel_grid, shared_table = window
         attn = _windowed_attention(x_ln, layer, cfg, gh, gw, rel_grid, shared_table)
     else:
-        attn = _attention(x_ln, layer, cfg, bias, attention_impl, seq_sharding)
+        attn = _attention(x_ln, layer, cfg, bias, attention_impl, seq_sharding,
+                          key_mask=key_mask)
     if "lambda_1" in layer:
         attn = attn * layer["lambda_1"].astype(attn.dtype)
     x = x + attn
@@ -779,6 +823,27 @@ def vit_forward(
 
     x = seq_constrain(x)
 
+    # Embedding-time lane padding (ViTConfig.pad_tokens_to): pay the
+    # 197->256 token-axis padding ONCE here instead of per-layer matmul
+    # relayouts. Exact for real tokens — padded keys are masked to
+    # exp(-inf) = 0 in every softmax row and sliced off at the taps.
+    n_real = x.shape[1]
+    key_mask = None
+    if (
+        cfg.pad_tokens_to > n_real
+        and not win_active
+        and pipeline is None
+        and seq_sharding is None
+        # MoE routers would let padded tokens compete for expert
+        # capacity slots (not exact) — keep the probe dense-only
+        and cfg.num_experts == 0
+    ):
+        pad = cfg.pad_tokens_to - n_real
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        key_mask = jnp.broadcast_to(
+            jnp.arange(cfg.pad_tokens_to) < n_real, (b, cfg.pad_tokens_to)
+        )
+
     # collect by layer index, then emit in tap order (taps may repeat for
     # very shallow test configs)
     collected: dict[int, jnp.ndarray] = {}
@@ -793,8 +858,16 @@ def vit_forward(
             )
         else:
             bias = _layer_rel_bias(layer, cfg, rel_grid, shared_bias)
+            if bias is not None and key_mask is not None:
+                # zero bias on padded entries; the key mask handles
+                # exclusion, so the values are irrelevant
+                pad = key_mask.shape[1] - bias.shape[-1]
+                bias = jnp.pad(
+                    bias, ((0, 0),) * (bias.ndim - 2) + ((0, pad), (0, pad))
+                )
             y, aux = encoder_block_aux(
-                x, layer, cfg, bias, attention_impl, seq_sharding
+                x, layer, cfg, bias, attention_impl, seq_sharding,
+                key_mask=key_mask,
             )
         return seq_constrain(y), aux
 
@@ -851,4 +924,5 @@ def vit_forward(
             collected[li] = x
     if aux_out is not None:
         aux_out["moe_aux"] = total_aux
-    return [collected[t] for t in taps]
+    # slice the lane padding back off (no-op when key_mask is None)
+    return [collected[t][:, :n_real] for t in taps]

@@ -173,6 +173,36 @@ def check_native() -> dict:
     )
 
 
+def check_pretrained() -> dict:
+    """Are the real microsoft/dit-base bytes available for warm start?
+
+    The reference's core recipe is fine-tuning a *pretrained* DiT
+    (reference dit_backbone.py:25-31); in a zero-egress environment the
+    bytes must be dropped in by hand. Everything downstream of the
+    download is automatic — this check prints the exact instruction.
+    """
+    try:
+        from layoutdit_tpu.tools.convert_hf_checkpoint import (
+            CKPT_ENV,
+            local_checkpoint,
+        )
+    except Exception as e:  # pragma: no cover - import failure
+        return _result("pretrained", "FAIL", f"{type(e).__name__}: {e}")
+    found = {p: local_checkpoint(p) for p in CKPT_ENV}
+    if any(found.values()):
+        have = ", ".join(f"{p}={path}" for p, path in found.items() if path)
+        return _result("pretrained", "OK", have)
+    return _result(
+        "pretrained", "WARN",
+        "no pretrained DiT bytes — training starts from random init. To "
+        "warm-start: download microsoft/dit-base's pytorch_model.bin "
+        "(huggingface.co/microsoft/dit-base), then export "
+        f"{CKPT_ENV['dit-base']}=/path/to/pytorch_model.bin; conversion + "
+        "warm start are automatic (verify with "
+        f"{CKPT_ENV['dit-base']}=... pytest tests/test_convert_checkpoint.py)",
+    )
+
+
 def check_compile_cache() -> dict:
     # EXACTLY the runtime's resolution (main.py) — probing any other
     # directory would vouch for a cache the run never touches
@@ -298,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             results.append(check_mesh())
     results.append(check_native())
+    results.append(check_pretrained())
     results.append(check_compile_cache())
     results.extend(check_io())
     results.append(check_checkpoints())

@@ -45,14 +45,21 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     unroll = int(os.environ.get("BENCH_UNROLL", steps))
+    # Matcher-share knobs (PERF_STAGES.md "DETR matcher" decomposition):
+    # BENCH_SHARED=1 -> final-layer-only matching shared across aux
+    # losses; BENCH_G -> padded gt slots (the JV solve is O(G) depth).
+    shared = os.environ.get("BENCH_SHARED", "0") == "1"
+    g = int(os.environ.get("BENCH_G", 64))  # <= detr_num_queries=100
 
-    cfg = DetectorConfig(compute_dtype="bfloat16", detector_kind="detr")
+    cfg = DetectorConfig(
+        compute_dtype="bfloat16", detector_kind="detr",
+        detr_shared_matching=shared,
+    )
     params = init_detector_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainingConfig(), steps_per_epoch=1000)
     opt_state = tx.init(params)
 
     rng = np.random.default_rng(0)
-    g = 64  # padded gt slots (<= detr_num_queries=100)
     images = jnp.asarray(rng.uniform(0, 1, (batch, 3, 224, 224)), jnp.float32)
     boxes = rng.uniform(10, 100, (batch, g, 4)).astype(np.float32)
     boxes[..., 2:] += boxes[..., :2]
@@ -127,6 +134,8 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "num_queries": cfg.detr_num_queries,
                 "decoder_layers": cfg.detr_layers,
+                "padded_gt": g,
+                "shared_matching": shared,
             }
         )
     )

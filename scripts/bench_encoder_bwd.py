@@ -77,11 +77,11 @@ def timed(name, fn, flops_tf):
     return ms
 
 
-def fwd(x, p, remat=False):
+def fwd(x, p, remat=False, vcfg_=None):
     xn = _normalize(x, cfg).astype(jnp.bfloat16)
     hs = vit_mod.vit_forward(
-        p, xn, vcfg, taps=cfg.backbone.taps, compute_dtype=jnp.bfloat16,
-        attention_impl="xla", remat=remat,
+        p, xn, vcfg_ or vcfg, taps=cfg.backbone.taps,
+        compute_dtype=jnp.bfloat16, attention_impl="xla", remat=remat,
     )
     return sum(h.astype(jnp.float32).sum() for h in hs)
 
@@ -103,6 +103,41 @@ def fwd_bwd(remat):
 print(f"encoder bwd bench: dit-base bs{BATCH} {SIZE}px bf16, N={N} "
       f"analytic fwd = {FWD_TFLOP * 1e3:.1f} GFLOP/step")
 f_ms = timed("fwd only", lambda x, p: fwd(x, p), FWD_TFLOP)
+
+# Round-5 encoder-forward probes (VERDICT r4 item 5): each is an opt-in
+# ViTConfig knob; rows here decide keep/dead-end in PERF_STAGES.md.
+if os.environ.get("BENCH_PROBES", "0") == "1":
+    import dataclasses as _dc
+
+    pad_cfg = _dc.replace(vcfg, pad_tokens_to=((N + 127) // 128) * 128)
+    bf16_cfg = _dc.replace(vcfg, score_dtype="bfloat16")
+    both_cfg = _dc.replace(
+        vcfg, pad_tokens_to=((N + 127) // 128) * 128,
+        score_dtype="bfloat16",
+    )
+    timed(f"fwd pad->{pad_cfg.pad_tokens_to}",
+          lambda x, p: fwd(x, p, vcfg_=pad_cfg), FWD_TFLOP)
+    timed("fwd bf16 scores",
+          lambda x, p: fwd(x, p, vcfg_=bf16_cfg), FWD_TFLOP)
+    timed("fwd pad + bf16 scores",
+          lambda x, p: fwd(x, p, vcfg_=both_cfg), FWD_TFLOP)
+
+    def fwd_bwd_cfg(vc):
+        def f(x, p):
+            loss, grads = jax.value_and_grad(
+                lambda p_: fwd(x, p_, vcfg_=vc)
+            )(p)
+            return loss + sum(
+                g.astype(jnp.float32).ravel()[0]
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+
+        return f
+
+    timed("fwd+bwd pad", fwd_bwd_cfg(pad_cfg), 3 * FWD_TFLOP)
+    timed("fwd+bwd bf16 scores", fwd_bwd_cfg(bf16_cfg), 3 * FWD_TFLOP)
+    timed("fwd+bwd pad + bf16", fwd_bwd_cfg(both_cfg), 3 * FWD_TFLOP)
+
 fb_ms = timed("fwd+bwd (remat off)", fwd_bwd(False), 3 * FWD_TFLOP)
 fbr_ms = timed("fwd+bwd (remat on)", fwd_bwd(True), 4 * FWD_TFLOP)
 print(

@@ -286,6 +286,61 @@ def test_aux_loss_keys_and_final_layer_consistency():
         assert float(with_aux[n]) == pytest.approx(float(final_only[n]))
 
 
+def test_shared_matching_final_layer_exact_and_aux_reused():
+    """detr_shared_matching solves the match on the final layer only:
+    the final-layer loss terms must be bit-identical to paper-exact
+    matching, and every aux loss must use the FINAL layer's assignment
+    (checked against an explicitly precomputed shared match)."""
+    rng = np.random.default_rng(7)
+    L, b, q, k = 3, 2, 8, 4
+    logits = jnp.asarray(rng.normal(0, 2, (L, b, q, k)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.1, 0.6, (L, b, q, 4)), jnp.float32)
+    gt_boxes = jnp.asarray(
+        [[[10, 10, 40, 50], [8, 8, 30, 30]], [[5, 20, 60, 60], [0, 0, 0, 0]]],
+        jnp.float32,
+    )
+    gt_labels = jnp.asarray([[1, 2], [3, 0]], jnp.int32)
+    gt_valid = jnp.asarray([[True, True], [True, False]])
+
+    exact = detr_loss(
+        logits, boxes, gt_boxes, gt_labels, gt_valid, 64, 0.1, True
+    )
+    shared = detr_loss(
+        logits, boxes, gt_boxes, gt_labels, gt_valid, 64, 0.1, True,
+        shared_matching=True,
+    )
+    assert set(shared) == set(exact)
+    # final layer matches itself -> identical terms either way
+    for n in ("loss_ce", "loss_bbox", "loss_giou"):
+        assert float(shared[n]) == pytest.approx(float(exact[n]))
+
+    # aux levels reuse the final assignment: recompute the expected aux
+    # losses by feeding the final-layer match into each level directly
+    from layoutdit_tpu.models.detection.detr import (
+        _match_single,
+        _xyxy_to_cxcywh,
+        detr_loss_one_level,
+    )
+
+    gt01 = _xyxy_to_cxcywh(gt_boxes) / 64
+    gt01 = jnp.where(gt_valid[..., None], gt01, 0.0)
+    final_match = jax.vmap(_match_single)(
+        logits[-1], boxes[-1], gt01, gt_labels, gt_valid
+    )
+    num_boxes = jnp.maximum(gt_valid.sum(), 1).astype(jnp.float32)
+    for i in range(L - 1):
+        want = detr_loss_one_level(
+            logits[i], boxes[i], gt01, gt_labels, gt_valid, num_boxes,
+            0.1, match=final_match,
+        )
+        for n in ("loss_ce", "loss_bbox", "loss_giou"):
+            # detr_loss_one_level folds the loss weights in, so the
+            # values must agree exactly
+            assert float(shared[f"{n}_aux{i}"]) == pytest.approx(
+                float(want[n]), rel=1e-6
+            )
+
+
 def test_loss_no_valid_gt_is_finite_with_grads():
     rng = np.random.default_rng(5)
     logits = jnp.asarray(rng.normal(0, 1, (1, 2, 6, 4)), jnp.float32)
