@@ -44,6 +44,9 @@ FAMILY_KNOBS: dict[str, dict] = {
     "retinanet": {"detector": "retinanet"},
     "fcos": {"detector": "fcos"},
     "detr": {"detector": "detr"},
+    # quality cost of the matcher-latency mitigation (PERF_STAGES.md
+    # round 5): same DETR, Hungarian solved on the final layer only
+    "detr_shared": {"detector": "detr", "detr_shared_matching": True},
 }
 
 
