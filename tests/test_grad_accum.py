@@ -38,6 +38,7 @@ def _batch(cfg, key):
     return images, boxes, labels, valid
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_accum_step_matches_manual_average(fixture_cfg):
     """The accum=2 jitted step applies exactly the update computed from
     the average of the two micro-batch gradients."""

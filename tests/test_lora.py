@@ -294,6 +294,7 @@ def test_stacked_layers_carry_adapters():
     assert stacked["q"]["lora_b"].shape == (2, 4, 32)
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_merge_lora_cli_roundtrip(tmp_path):
     """tools/merge_lora: fine-tuned LoRA checkpoint -> merged params-only
     checkpoint that loads under a rank-0 config and predicts identically."""

@@ -206,6 +206,7 @@ def tiny_mask_detector():
     return cfg, params
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_detector_loss_with_mask(tiny_mask_detector):
     cfg, params = tiny_mask_detector
     images, gt_boxes, gt_labels, gt_valid, gt_masks = _tiny_batch()
@@ -248,6 +249,7 @@ def test_mask_loss_requires_masks(tiny_mask_detector):
         )
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_mask_grads_flow(tiny_mask_detector):
     cfg, params = tiny_mask_detector
     images, gt_boxes, gt_labels, gt_valid, gt_masks = _tiny_batch()
@@ -291,6 +293,7 @@ def test_detector_predict_with_masks(tiny_mask_detector):
     )
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_mask_train_and_segm_eval_e2e(tmp_path):
     """Full production path with the mask branch on: fixture (polygon
     segmentations) -> Trainer (loss_mask in the jitted sum) ->

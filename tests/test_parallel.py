@@ -174,6 +174,7 @@ def test_dp_tp_train_step_runs_and_keeps_shardings():
     assert q_sharding.spec == P(None, "model")
 
 
+@pytest.mark.slow  # >60s on the 1-core host (measured round 5)
 def test_trainer_with_tp_mesh(tmp_path):
     """Trainer end-to-end on a dp=2 x tp=4 mesh (tiny fixture)."""
     import json
