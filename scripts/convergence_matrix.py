@@ -51,7 +51,7 @@ FAMILY_KNOBS: dict[str, dict] = {
 
 
 def run_family(family: str, root: str, epochs: int, lr: float,
-               batch_size: int = 8) -> dict:
+               batch_size: int = 8, eval_split: str = "val") -> dict:
     from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
     from layoutdit_tpu.tools.make_fixture import (
         make_fixture,
@@ -63,7 +63,10 @@ def run_family(family: str, root: str, epochs: int, lr: float,
     cfg_path = write_fixture_config(root, split="samples", epochs=epochs,
                                     batch_size=batch_size, tiny_model=True)
     cfg = LayoutDitConfig(**json.load(open(cfg_path)))
-    cfg.eval_config.eval_input = "val"
+    # eval_split="samples" scores the TRAIN split — the memorization
+    # probe separating "eval path broken" from "family did not
+    # generalize" (used for the DETR small-data diagnosis, round 5)
+    cfg.eval_config.eval_input = eval_split
     # write_fixture_config's local_mode=True reroutes TRAINING to
     # eval_input (reference sample-split semantics) — that would train on
     # the held-out 32 pages and measure memorization. Train on the 128.
@@ -121,6 +124,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--root", default=None,
                     help="fixture dir (default: fresh tempdir)")
+    ap.add_argument("--eval-split", default="val",
+                    help="'samples' = score the train split "
+                    "(memorization probe)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend (TPU if present); "
                     "default pins CPU so matrix runs can proceed while "
@@ -134,7 +140,9 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
     root = args.root or tempfile.mkdtemp(prefix=f"matrix_{args.family}_")
-    row = run_family(args.family, root, args.epochs, args.lr)
+    row = run_family(args.family, root, args.epochs, args.lr,
+                     eval_split=args.eval_split)
+    row["eval_split"] = args.eval_split
     print(json.dumps(row), flush=True)
     return 0
 
