@@ -111,9 +111,9 @@ def run_family(family: str, root: str, epochs: int, lr: float,
         if key in metrics:
             row[key] = round(metrics[key], 4)
     if family == "mask":
-        for k, v in metrics.items():
-            if k.startswith("segm-") and k in ("segm-mAP", "segm-AP50"):
-                row[k] = round(v, 4)
+        for k in ("segm_mAP", "segm_AP50", "segm_AP75"):
+            if k in metrics:
+                row[k] = round(metrics[k], 4)
     return row
 
 
