@@ -51,14 +51,15 @@ FAMILY_KNOBS: dict[str, dict] = {
 
 
 def run_family(family: str, root: str, epochs: int, lr: float,
-               batch_size: int = 8, eval_split: str = "val") -> dict:
+               batch_size: int = 8, eval_split: str = "val",
+               n_train: int = 128) -> dict:
     from layoutdit_tpu.config import LayoutDitConfig, set_layout_dit_config
     from layoutdit_tpu.tools.make_fixture import (
         make_fixture,
         write_fixture_config,
     )
 
-    make_fixture(root, n_images=128, split="samples", seed=0)
+    make_fixture(root, n_images=n_train, split="samples", seed=0)
     make_fixture(root, n_images=32, split="val", seed=777)
     cfg_path = write_fixture_config(root, split="samples", epochs=epochs,
                                     batch_size=batch_size, tiny_model=True)
@@ -127,6 +128,9 @@ def main() -> int:
     ap.add_argument("--eval-split", default="val",
                     help="'samples' = score the train split "
                     "(memorization probe)")
+    ap.add_argument("--n-train", type=int, default=128,
+                    help="train-split pages (the DETR data-scaling "
+                    "probe uses 1024)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend (TPU if present); "
                     "default pins CPU so matrix runs can proceed while "
@@ -141,8 +145,9 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     root = args.root or tempfile.mkdtemp(prefix=f"matrix_{args.family}_")
     row = run_family(args.family, root, args.epochs, args.lr,
-                     eval_split=args.eval_split)
+                     eval_split=args.eval_split, n_train=args.n_train)
     row["eval_split"] = args.eval_split
+    row["n_train"] = args.n_train
     print(json.dumps(row), flush=True)
     return 0
 
